@@ -1,0 +1,162 @@
+"""Crawl configuration — the reference's "query language".
+
+A crawl is *declared* as a settings tree validated at build time
+(``lib/spider_man/configuration.ex:84-155``, defaults 4-34) and merged
+across 5 precedence layers (documented configuration.ex:67-76,
+implemented 239-269; deep merge in utils.ex:45-64 with
+``pipelines``/``batchers`` *replacing* instead of merging,
+utils.ex:48-52).  ``handle_response`` and the lifecycle hooks
+(lib/spider_man.ex:45-61) become Python callables: the parse function
+runs inside an Arrow-batched UDF, the hooks run on the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping
+from dataclasses import dataclass, field
+from typing import Any
+
+from spider_man_spark.schemas import (
+    DEFAULT_EPOCH_MS,
+    DEFAULT_REQUEST_RETRIES,
+    DEFAULT_TOKENS_PER_EPOCH,
+)
+
+# Keys whose values replace wholesale on merge instead of deep-merging
+# (mirrors utils.ex:48-52 for :pipelines / :batchers etc.).
+_REPLACE_KEYS = frozenset(
+    {"pipelines", "post_pipelines", "batchers", "storage", "user_agents"}
+)
+
+
+def merge_settings(*layers: Mapping[str, Any] | None) -> dict[str, Any]:
+    """Deep-merge settings layers, earliest = lowest precedence.
+
+    Mirrors the 5-layer precedence of configuration.ex:239-269
+    (defaults < global < per-spider < module settings() < direct args)
+    — callers pass layers in that order.
+    """
+    out: dict[str, Any] = {}
+    for layer in layers:
+        if not layer:
+            continue
+        for k, v in layer.items():
+            if (
+                k not in _REPLACE_KEYS
+                and isinstance(v, Mapping)
+                and isinstance(out.get(k), dict)
+            ):
+                out[k] = merge_settings(out[k], v)
+            else:
+                out[k] = v if not isinstance(v, Mapping) else dict(v)
+    return out
+
+
+class SettingsError(ValueError):
+    """Validation failure (the NimbleOptions-error analogue)."""
+
+
+# Hooks in the reference's documented firing order (lib/spider_man.ex:14-28).
+LIFECYCLE_HOOKS = (
+    "prepare_for_start_pre",
+    "prepare_for_start_component",
+    "prepare_for_start_post",
+    "init",
+    "handle_response",
+    "prepare_for_stop_component",
+    "prepare_for_stop",
+)
+
+
+@dataclass
+class CrawlConfig:
+    """Validated crawl job configuration.
+
+    Defaults mirror the reference's (configuration.ex:4-34):
+    politeness ceiling 10 req / 1000 ms epoch, request retries 3,
+    downloader+item_processor dedup on by default
+    (configuration.ex:9,23,206,220).
+    """
+
+    job_name: str = "spider"
+    workdir: str = "./data"
+    # Politeness (reference: global 10/1000ms; rebuild: per-host).
+    tokens_per_epoch: int = DEFAULT_TOKENS_PER_EPOCH
+    epoch_ms: int = DEFAULT_EPOCH_MS
+    # Frontier-level retry budget (utils.ex:19-21).
+    max_retries: int = DEFAULT_REQUEST_RETRIES
+    # Dedup (DuplicateFilter default-on, configuration.ex:9,23).
+    dedup: bool = True
+    # Bloom pre-filter layer in front of the exact seen anti-join.
+    bloom_enabled: bool = False
+    bloom_shards: int = 64
+    bloom_bits_per_item: int = 16
+    # Partitioning: host-hash salt shards for skew defusal.
+    n_host_shards: int = 32
+    # Ranking salt fan-out for the two-phase per-host top-k.
+    rank_salts: int = 8
+    base_url: str | None = None
+    user_agents: tuple[str, ...] = ()
+    splash_url: str | None = None
+    # Sinks: list of storage specs (see storage/__init__.py registry);
+    # False disables the item-processor stage entirely
+    # (storage/storage.ex "storage: false" -> item_processor_pid nil).
+    storage: Any = "table"
+    # Component suspend flags (engine.ex:145-191).
+    suspended: bool = False
+    # Max URLs scheduled per epoch across all hosts (GenStage demand
+    # analogue — bounds one epoch's work; 0 = unbounded).
+    max_per_epoch: int = 0
+    # Termination (run_until_zero double-check, lib/spider_man.ex:204-211).
+    zero_checks: int = 2
+    max_epochs: int = 1000
+    # Session-state (SetCookie) stage on/off.
+    cookies: bool = False
+    # User callbacks (CommonSpider analogue, common_spider.ex:35-59).
+    callbacks: dict[str, Callable[..., Any]] = field(default_factory=dict)
+    # Extra pipeline stages: list of (fn: DataFrame -> DataFrame).
+    pipelines: tuple[Callable[..., Any], ...] = ()
+    post_pipelines: tuple[Callable[..., Any], ...] = ()
+
+    def __post_init__(self) -> None:
+        validate_settings(self)
+
+
+def validate_settings(cfg: CrawlConfig) -> None:
+    """Build-time validation (the validate_settings! analogue,
+    configuration.ex:239-269 + callback arity checks
+    common_spider.ex:137-155)."""
+    if cfg.tokens_per_epoch < 1:
+        raise SettingsError("tokens_per_epoch must be >= 1")
+    if cfg.epoch_ms < 1:
+        raise SettingsError("epoch_ms must be >= 1")
+    if cfg.max_retries < 0:
+        raise SettingsError("max_retries must be >= 0")
+    if cfg.n_host_shards < 1 or cfg.bloom_shards < 1 or cfg.rank_salts < 1:
+        raise SettingsError("shard/salt counts must be >= 1")
+    for name, fn in cfg.callbacks.items():
+        if name not in LIFECYCLE_HOOKS:
+            raise SettingsError(
+                f"unknown callback {name!r}; expected one of {LIFECYCLE_HOOKS}"
+            )
+        if not callable(fn):
+            raise SettingsError(f"callback {name!r} is not callable")
+    for stage in tuple(cfg.pipelines) + tuple(cfg.post_pipelines):
+        if not callable(stage) and not (
+            isinstance(stage, tuple) and len(stage) == 2 and callable(stage[0])
+        ):
+            raise SettingsError(
+                "pipeline stages must be callable or (callable, arg) "
+                f"(got {stage!r})"
+            )
+
+
+def from_settings(settings: Mapping[str, Any] | None = None, **direct: Any) -> CrawlConfig:
+    """Build a CrawlConfig from merged settings layers + direct args
+    (direct args are the highest-precedence layer)."""
+    merged = merge_settings(settings, direct)
+    fields = {f for f in CrawlConfig.__dataclass_fields__}
+    unknown = set(merged) - fields
+    if unknown:
+        raise SettingsError(f"unknown settings keys: {sorted(unknown)}")
+    return CrawlConfig(**merged)
