@@ -188,8 +188,16 @@ def make_image(image_id: str, w: int = 64, h: int = 64, seed: int = 42) -> np.nd
         ],
         axis=2,
     )
-    noise = rng.integers(-24, 25, size=(h, w, 3))
-    return np.clip(base + noise, 0, 255).astype(np.uint8)
+    # per-image low-frequency block structure (so perceptual hashes
+    # actually differ between images) + fine noise
+    blocks = rng.integers(-96, 97, size=(8, 8, 3)).astype(np.float64)
+    by = (yy * 8) // h
+    bx = (xx * 8) // w
+    structure = blocks[by, bx]
+    noise = rng.integers(-16, 17, size=(h, w, 3))
+    return np.clip(base * 0.5 + 128 + structure * 0.7 + noise, 0, 255).astype(
+        np.uint8
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,168 @@
+"""Politeness scheduler — per-host token budget + crawl-delay +
+deterministic priority queue.
+
+The reference rate-limits globally: 10 messages / 1000 ms on the
+downloader producer (configuration.ex:8, producer/producer.ex:37-44),
+and its within-budget *order* is undefined ETS hash order.  The
+rebuild generalizes to **per-host** tokens and crawl-delay windows
+(robots table) with a **defined ordering contract**
+``(priority, depth, url_key)`` — global rate limiting is the one-host
+special case, so reference semantics are preserved.
+
+Scale design: a naive ``Window.partitionBy(host)`` rank sorts every
+candidate of a hot host in one task.  Instead the rank is two-phase
+("salted top-k"): phase 1 ranks within ``(host, salt)`` — ``rank_salts``
+way fan-out bounds any task to ~|host|/salts rows — and keeps at most
+``tokens`` per salted group; phase 2 re-ranks the surviving
+``<= tokens * rank_salts`` rows per host exactly.  Phase 2's winners
+are provably identical to a single global per-host rank: any row in
+the true top-``tokens`` of a host is in the top-``tokens`` of its
+salted subgroup, so it survives phase 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spider_man_spark.schemas import DEFAULT_TOKENS_PER_EPOCH
+
+def order_cols() -> list:
+    """Deterministic ordering contract (lazy: needs active session)."""
+    return [F.col("priority").asc(), F.col("depth").asc(), F.col("url_key").asc()]
+
+
+def join_robots(frontier: DataFrame, robots: DataFrame | None) -> DataFrame:
+    """Attach per-host politeness state (left join; hosts without a
+    robots row get defaults).  robots is per-host — small relative to
+    the frontier — so it is broadcast explicitly."""
+    if robots is None:
+        return (
+            frontier.withColumn("crawl_delay_ms", F.lit(0))
+            .withColumn("tokens_per_epoch", F.lit(None).cast("int"))
+            .withColumn("next_allowed_ts", F.lit(0).cast("long"))
+            .withColumn("disallow_prefixes", F.lit(None).cast("array<string>"))
+        )
+    r = robots.select(
+        "host", "crawl_delay_ms", "tokens_per_epoch", "next_allowed_ts",
+        "disallow_prefixes",
+    )
+    joined = frontier.join(F.broadcast(r), "host", "left")
+    return (
+        joined.withColumn("crawl_delay_ms", F.coalesce("crawl_delay_ms", F.lit(0)))
+        .withColumn("next_allowed_ts", F.coalesce("next_allowed_ts", F.lit(0)))
+    )
+
+
+def robots_filter(df: DataFrame, epoch_ts: int) -> tuple[DataFrame, DataFrame]:
+    """(eligible, blocked): crawl-delay window not yet open or a
+    disallow prefix match blocks a row this epoch."""
+    path = F.regexp_extract(F.col("url"), r"^[a-z]+://[^/?#]*([^?#]*)", 1)
+    disallowed = F.when(
+        F.col("disallow_prefixes").isNotNull(),
+        F.exists("disallow_prefixes", lambda p: path.startswith(p)),
+    ).otherwise(F.lit(False))
+    too_early = F.col("next_allowed_ts") > F.lit(epoch_ts)
+    return df.filter(~disallowed & ~too_early), df.filter(disallowed | too_early)
+
+
+def rank_per_host(
+    df: DataFrame,
+    tokens_default: int = DEFAULT_TOKENS_PER_EPOCH,
+    rank_salts: int = 8,
+) -> DataFrame:
+    """Two-phase deterministic per-host top-``tokens`` selection.
+    Requires a ``tokens_per_epoch`` column (nullable -> default)."""
+    tokens = F.coalesce(F.col("tokens_per_epoch"), F.lit(tokens_default))
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64("url_key"), F.lit(rank_salts))
+    )
+    w1 = Window.partitionBy("host", "__salt").orderBy(*order_cols())
+    phase1 = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= tokens)
+        .drop("__r1", "__salt")
+    )
+    w2 = Window.partitionBy("host").orderBy(*order_cols())
+    return (
+        phase1.withColumn("host_rank", F.row_number().over(w2))
+        .filter(F.col("host_rank") <= tokens)
+    )
+
+
+def schedule_epoch(
+    frontier: DataFrame,
+    robots: DataFrame | None,
+    epoch_ts: int,
+    *,
+    tokens_default: int = DEFAULT_TOKENS_PER_EPOCH,
+    rank_salts: int = 8,
+    max_per_epoch: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """(scheduled, deferred) for one epoch.
+
+    scheduled: per-host top-``tokens`` eligible rows in contract order,
+    optionally globally capped at ``max_per_epoch`` (the GenStage
+    demand analogue — deterministic: ordered by
+    (priority, depth, url_key) across hosts).
+    deferred: everything else — stays in the frontier for the next
+    epoch (the reference leaves un-pulled rows in the ETS table).
+    """
+    enriched = join_robots(frontier, robots)
+    eligible, _blocked = robots_filter(enriched, epoch_ts)
+    picked = rank_per_host(eligible, tokens_default, rank_salts)
+    if max_per_epoch > 0:
+        w = Window.orderBy(*order_cols())
+        picked = (
+            picked.withColumn("__g", F.row_number().over(w))
+            .filter(F.col("__g") <= max_per_epoch)
+            .drop("__g")
+        )
+    scheduled = picked.drop(
+        "crawl_delay_ms", "tokens_per_epoch", "next_allowed_ts",
+        "disallow_prefixes", "host_rank",
+    )
+    deferred = frontier.join(
+        scheduled.select("url_key"), "url_key", "left_anti"
+    )
+    return scheduled, deferred
+
+
+def advance_robots(
+    robots: DataFrame | None,
+    scheduled: DataFrame,
+    epoch_ts: int,
+    epoch: int,
+    tokens_default: int = DEFAULT_TOKENS_PER_EPOCH,
+) -> DataFrame:
+    """Persist the politeness clock (north_rule: next_allowed_ts lives
+    in the robots table, not executor memory): each host's window
+    advances by crawl_delay_ms x (urls scheduled this epoch)."""
+    counts = scheduled.groupBy("host").agg(F.count("*").alias("__n"))
+    if robots is None:
+        return counts.select(
+            "host",
+            F.lit(0).alias("crawl_delay_ms"),
+            F.lit(tokens_default).alias("tokens_per_epoch"),
+            F.lit(epoch_ts).cast("long").alias("next_allowed_ts"),
+            F.lit(None).cast("array<string>").alias("disallow_prefixes"),
+            F.lit(epoch).cast("int").alias("epoch"),
+        )
+    merged = robots.join(counts, "host", "full_outer")
+    return merged.select(
+        "host",
+        F.coalesce("crawl_delay_ms", F.lit(0)).alias("crawl_delay_ms"),
+        F.coalesce("tokens_per_epoch", F.lit(tokens_default)).alias(
+            "tokens_per_epoch"
+        ),
+        F.when(
+            F.col("__n").isNotNull(),
+            F.lit(epoch_ts)
+            + F.coalesce("crawl_delay_ms", F.lit(0)).cast("long") * F.col("__n"),
+        )
+        .otherwise(F.coalesce("next_allowed_ts", F.lit(0)))
+        .cast("long")
+        .alias("next_allowed_ts"),
+        "disallow_prefixes",
+        F.lit(epoch).cast("int").alias("epoch"),
+    )

@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (array<float>).
+
+* :func:`cosine_topk` — brute-force cosine top-k, fully JVM-side
+  (``zip_with``/``aggregate`` dot products inside codegen) — the
+  correctness baseline; O(N) scan per query, embarrassingly parallel.
+* :func:`rp_lsh_bucket` / :func:`ann_topk_lsh` — random-hyperplane
+  LSH: seeded projection planes folded into column expressions; the
+  scan touches only the query's bucket (and optionally its Hamming-1
+  neighbors) — the 100 TB path: bucket is a partition key, so a query
+  prunes to a handful of partitions.
+* :func:`embedding_dup_pairs` — near-dup detection by cosine over
+  LSH buckets (bucket equi-join, never a cross join).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot_lit(vec_col: Column, v: list[float]) -> Column:
+    """dot(embedding, literal query) as a codegen expression."""
+    lit = F.array(*[F.lit(float(x)) for x in v])
+    return F.aggregate(
+        F.zip_with(vec_col, lit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def vec_norm(vec_col: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_sim_lit(vec_col: Column, query: list[float]) -> Column:
+    qn = float(np.linalg.norm(query)) or 1.0
+    return F.round(_dot_lit(vec_col, query) / (vec_norm(vec_col) * qn), 6)
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: one projection + global top-k (Spark
+    implements orderBy+limit as per-partition top-k + merge — no full
+    sort at scale)."""
+    scored = df.select(
+        F.col(id_col), cosine_sim_lit(F.col(vec_col), query).alias("cosine")
+    )
+    return scored.orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    ).limit(k)
+
+
+def random_planes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def rp_lsh_bucket(vec_col: Column, planes: np.ndarray) -> Column:
+    """Random-hyperplane bucket id: bit i = sign(dot(v, plane_i)) —
+    built as n_planes literal-dot expressions, all codegen."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        bit = (_dot_lit(vec_col, list(p)) > 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: np.ndarray | None = None,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """ANN top-k: scan only rows whose LSH bucket is within
+    ``probe_hamming`` bits of the query's bucket (multi-probe), then
+    exact cosine on the survivors.  At scale the table is written
+    partitioned by bucket -> partition pruning makes this a
+    few-partition scan."""
+    if planes is None:
+        planes = random_planes(len(query))
+    qbits = (planes @ np.asarray(query) > 0).astype(np.int64)
+    qbucket = int((qbits << np.arange(len(planes))).sum())
+    bucketed = df.withColumn("__bucket", rp_lsh_bucket(F.col(vec_col), planes))
+    probe = F.bit_count(
+        F.col("__bucket").bitwiseXOR(F.lit(qbucket))
+    ) <= probe_hamming
+    return (
+        bucketed.filter(probe)
+        .select(F.col(id_col), cosine_sim_lit(F.col(vec_col), query).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: np.ndarray | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-duplicate (id_a, id_b, cosine) pairs: LSH-bucket equi-join
+    candidates, exact cosine verify.  High thresholds want near-equal
+    sign patterns, so same-bucket candidates capture them."""
+    if planes is None:
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
+        planes = random_planes(dim)
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        rp_lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (vec_norm(F.col("a.v")) * vec_norm(F.col("b.v"))), 6)
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .distinct()
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def brute_force_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine (oracle for tests; O(N^2) — small N only)."""
+    keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (vec_norm(F.col("a.v")) * vec_norm(F.col("b.v"))), 6)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

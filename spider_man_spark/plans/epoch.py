@@ -1,0 +1,288 @@
+"""One crawl epoch as a deterministic DataFrame job.
+
+The reference's hot path (SURVEY.md §3.2) per event: pull -> dedup ->
+rate-limit -> fetch -> parse -> store -> ack, across three actor
+stages with ETS queues between them.  One epoch fuses the same path
+over a *batch*:
+
+  frontier -> canonicalize (codegen exprs) -> politeness schedule
+  (two-phase window rank) -> fetch (corpus join / Arrow UDF) ->
+  split ok|fail -> parse (exprs + Arrow decode) -> admit new requests
+  (dedup anti-join vs seen) -> commit epoch outputs.
+
+The parse->frontier feedback edge (component/spider.ex:70) closes in
+the *driver* between epochs — the cycle cannot live inside one
+Catalyst plan, and this is the reason the engine is a micro-batch
+epoch loop rather than a Structured Streaming query (SURVEY.md §2.5).
+
+Determinism: the epoch clock is virtual (epoch_ts = epoch x epoch_ms),
+ordering follows the (priority, depth, url_key) contract, and every
+operator here is deterministic — so the sequence of (epoch, url_key)
+fetches is identical across runs and across parallelism levels.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark import StorageLevel
+
+from spider_man_spark.config import CrawlConfig
+from spider_man_spark.functions.urls import canonicalize_frontier
+from spider_man_spark.operators.dedup import dedup_candidates, intra_epoch_dedup
+from spider_man_spark.operators.politeness import advance_robots, schedule_epoch
+from spider_man_spark.operators.retry import requeue_failures, split_fetch_results
+from spider_man_spark.operators.session import (
+    harvest_cookies,
+    inject_cookie_header,
+    merge_sessions,
+)
+from spider_man_spark.sources.fetch import stub_fetch
+from spider_man_spark.sources.parse import custom_parse, default_parse
+from spider_man_spark.schemas import (
+    FAILED_SCHEMA,
+    FRONTIER_SCHEMA,
+    ITEMS_SCHEMA,
+    METRICS_SCHEMA,
+    SEEN_SCHEMA,
+)
+
+
+@dataclass
+class EpochResult:
+    epoch: int
+    scheduled: int = 0
+    fetched_ok: int = 0
+    fetch_fail: int = 0
+    new_requests: int = 0
+    items: int = 0
+    dead: int = 0
+    frontier_size: int = 0
+    durations_ms: dict[str, int] = field(default_factory=dict)
+
+    @property
+    def is_zero(self) -> bool:
+        return self.scheduled == 0 and self.frontier_size == 0
+
+
+def _seen_rows(admitted: DataFrame, n_shards: int, epoch: int) -> DataFrame:
+    return admitted.select(
+        "url_key",
+        "url_hash",
+        F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int").alias("shard"),
+        F.lit(epoch).cast("int").alias("epoch"),
+    )
+
+
+def run_epoch(
+    store,
+    cfg: CrawlConfig,
+    epoch: int,
+    corpus: DataFrame | None = None,
+    fetcher=None,
+    suspended: set[str] | None = None,
+    bloom_shards: dict[int, bytes] | None = None,
+) -> EpochResult:
+    """Execute epoch N: read state at N-1, commit state at N.
+
+    ``fetcher(scheduled) -> fetched`` defaults to the corpus-join stub.
+    ``suspended`` may contain component names ('downloader', 'spider',
+    'item_processor') — that stage is skipped and its input parked in a
+    pending table (the per-component suspend/continue of
+    engine.ex:145-191).
+    """
+    spark = store.spark
+    suspended = suspended or set()
+    prev = epoch - 1
+    epoch_ts = epoch * cfg.epoch_ms
+    res = EpochResult(epoch=epoch)
+    t_all = time.monotonic()
+
+    frontier = store.read_snapshot("frontier", prev, FRONTIER_SCHEMA)
+    seen = store.read_deltas("seen", prev, SEEN_SCHEMA)
+    robots = store.read_snapshot("robots", prev)
+    session = store.read_snapshot("session", prev) if cfg.cookies else None
+
+    # ---- downloader stage: schedule + fetch ----
+    t0 = time.monotonic()
+    if "downloader" in suspended:
+        scheduled = spark.createDataFrame([], FRONTIER_SCHEMA)
+        deferred = frontier
+    else:
+        scheduled, deferred = schedule_epoch(
+            frontier,
+            robots,
+            epoch_ts,
+            tokens_default=cfg.tokens_per_epoch,
+            rank_salts=cfg.rank_salts,
+            max_per_epoch=cfg.max_per_epoch,
+        )
+    if cfg.cookies:
+        scheduled = inject_cookie_header(scheduled, session)
+    scheduled = scheduled.persist(StorageLevel.MEMORY_AND_DISK)
+    res.scheduled = scheduled.count()
+
+    if res.scheduled:
+        if fetcher is not None:
+            fetched = fetcher(scheduled)
+        else:
+            if corpus is None:
+                raise ValueError("corpus required for stub fetch")
+            fetched = stub_fetch(scheduled, corpus)
+        fetched = fetched.persist(StorageLevel.MEMORY_AND_DISK)
+        ok_now, failed = split_fetch_results(fetched)
+        retry_rows, dead = requeue_failures(failed, "downloader", epoch)
+    else:
+        fetched = None
+        ok_now = None
+        retry_rows = dead = None
+    res.durations_ms["downloader"] = int((time.monotonic() - t0) * 1000)
+
+    # ---- spider stage: parse (with pending from suspended epochs) ----
+    t0 = time.monotonic()
+    pending_fetched = store.read_snapshot("pending_fetched", prev)
+    parse_input = None
+    if ok_now is not None:
+        parse_input = ok_now
+    if pending_fetched is not None:
+        parse_input = (
+            pending_fetched
+            if parse_input is None
+            else parse_input.unionByName(pending_fetched)
+        )
+
+    new_requests = items = None
+    parked_fetched = None
+    if parse_input is not None:
+        if "spider" in suspended:
+            parked_fetched = parse_input
+        else:
+            handle = cfg.callbacks.get("handle_response")
+            if handle is not None:
+                new_requests, items = custom_parse(parse_input, handle, epoch)
+            else:
+                new_requests, items = default_parse(parse_input, epoch)
+
+    # ---- admit new requests: canonicalize + dedup vs seen ----
+    if new_requests is not None and cfg.dedup:
+        cand = canonicalize_frontier(
+            new_requests, cfg.base_url, cfg.n_host_shards
+        )
+        admitted = dedup_candidates(
+            cand, seen, bloom_shards=bloom_shards, n_shards=cfg.bloom_shards
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    elif new_requests is not None:
+        admitted = intra_epoch_dedup(
+            canonicalize_frontier(new_requests, cfg.base_url, cfg.n_host_shards)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        admitted = None
+    res.durations_ms["spider"] = int((time.monotonic() - t0) * 1000)
+
+    # ---- item-processor stage ----
+    t0 = time.monotonic()
+    parked_items = store.read_snapshot("pending_items", prev)
+    items_all = items
+    if parked_items is not None:
+        items_all = (
+            parked_items if items_all is None else items_all.unionByName(parked_items)
+        )
+    write_items = cfg.storage is not False and "item_processor" not in suspended
+    res.durations_ms["item_processor"] = 0
+
+    # ---- commit epoch N ----
+    # frontier' = deferred ∪ retries ∪ admitted
+    parts = [deferred.select(*[f.name for f in FRONTIER_SCHEMA.fields])]
+    if retry_rows is not None:
+        parts.append(
+            canonicalize_frontier(retry_rows, cfg.base_url, cfg.n_host_shards)
+        )
+    if admitted is not None:
+        parts.append(admitted.select(*[f.name for f in FRONTIER_SCHEMA.fields]))
+    frontier_next = parts[0]
+    for p in parts[1:]:
+        frontier_next = frontier_next.unionByName(p)
+    # repartition by host_salt: co-locates each host's URLs so the next
+    # epoch's politeness window shuffles less and hot hosts stay spread
+    # across rank_salts tasks.
+    frontier_next = frontier_next.repartition(
+        max(store.spark.sparkContext.defaultParallelism, 1), "host_salt"
+    )
+    store.write("frontier", frontier_next, epoch)
+    res.frontier_size = store.read_snapshot("frontier", epoch).count()
+
+    if admitted is not None:
+        store.write("seen", _seen_rows(admitted, cfg.bloom_shards, epoch), epoch)
+        res.new_requests = admitted.count()
+        admitted.unpersist()
+    if dead is not None:
+        dead = dead.persist(StorageLevel.MEMORY_AND_DISK)
+        res.dead = dead.count()
+        if res.dead:
+            store.write("failed", dead.select(
+                *[f.name for f in FAILED_SCHEMA.fields]), epoch)
+        dead.unpersist()
+    if items_all is not None and write_items:
+        t1 = time.monotonic()
+        items_all = items_all.persist(StorageLevel.MEMORY_AND_DISK)
+        res.items = items_all.count()
+        if res.items:
+            store.write("items", items_all, epoch)
+        res.durations_ms["item_processor"] = int((time.monotonic() - t1) * 1000)
+        items_all.unpersist()
+        if parked_items is not None:
+            # parked items were consumed: clear the pending snapshot
+            store.write(
+                "pending_items", spark.createDataFrame([], ITEMS_SCHEMA), epoch
+            )
+    elif items_all is not None and "item_processor" in suspended:
+        store.write("pending_items", items_all, epoch)
+    elif parked_items is not None:
+        # consumed this epoch: clear the pending snapshot
+        store.write(
+            "pending_items", spark.createDataFrame([], ITEMS_SCHEMA), epoch
+        )
+    if parked_fetched is not None:
+        store.write("pending_fetched", parked_fetched, epoch)
+    elif pending_fetched is not None:
+        store.write(
+            "pending_fetched",
+            spark.createDataFrame([], pending_fetched.schema),
+            epoch,
+        )
+
+    if ok_now is not None:
+        res.fetched_ok = ok_now.count()
+        res.fetch_fail = res.scheduled - res.fetched_ok
+        if cfg.cookies:
+            new_sess = harvest_cookies(ok_now, epoch)
+            store.write("session", merge_sessions(session, new_sess, epoch), epoch)
+
+    robots_next = advance_robots(
+        robots, scheduled, epoch_ts, epoch, cfg.tokens_per_epoch
+    )
+    store.write("robots", robots_next, epoch)
+
+    total_ms = int((time.monotonic() - t_all) * 1000)
+    metrics_rows = [
+        (epoch, "downloader", res.scheduled, res.fetched_ok, res.fetch_fail,
+         res.durations_ms.get("downloader", 0)),
+        (epoch, "spider", res.fetched_ok, res.new_requests + res.items, 0,
+         res.durations_ms.get("spider", 0)),
+        (epoch, "item_processor", res.items, res.items, 0,
+         res.durations_ms.get("item_processor", 0)),
+        (epoch, "epoch", res.scheduled, res.fetched_ok, res.fetch_fail, total_ms),
+    ]
+    store.write(
+        "metrics", spark.createDataFrame(metrics_rows, METRICS_SCHEMA), epoch
+    )
+    res.durations_ms["epoch"] = total_ms
+
+    scheduled.unpersist()
+    if fetched is not None:
+        fetched.unpersist()
+    return res

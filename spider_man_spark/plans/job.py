@@ -1,0 +1,263 @@
+"""CrawlJob — the Engine GenServer analogue (driver control plane).
+
+Covers the reference's engine surface (SURVEY.md §2.4): lifecycle
+hooks in documented order (lib/spider_man.ex:14-28), seed insertion
+(insert_requests, lib/spider_man.ex:117-136), suspend/continue whole
+or per component (engine.ex:145-191), retry_failed (engine.ex:218-244),
+run_until_zero termination with double-check (lib/spider_man.ex:
+195-247), checkpoint/resume (engine.ex:193-216 dump2file / ets_file),
+and stats/tps (lib/spider_man.ex:285-305).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spider_man_spark.config import CrawlConfig
+from spider_man_spark.functions.urls import canonicalize_frontier
+from spider_man_spark.operators.dedup import (
+    build_seen_shards,
+    dedup_candidates,
+)
+from spider_man_spark.operators import retry as retry_ops
+from spider_man_spark.plans.epoch import EpochResult, run_epoch
+from spider_man_spark.plans.state import StateStore
+from spider_man_spark.schemas import (
+    FAILED_SCHEMA,
+    FRONTIER_SCHEMA,
+    ITEMS_SCHEMA,
+    METRICS_SCHEMA,
+    SEEN_SCHEMA,
+)
+from spider_man_spark.builders import build_requests
+
+COMPONENTS = ("downloader", "spider", "item_processor")
+
+
+class CrawlJob:
+    """One named crawl over a workdir of state tables."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: CrawlConfig | None = None,
+        corpus: DataFrame | None = None,
+        fetcher=None,
+    ) -> None:
+        self.spark = spark
+        self.cfg = cfg or CrawlConfig()
+        self.corpus = corpus
+        self.fetcher = fetcher
+        self.store = StateStore(spark, self.cfg.workdir)
+        self.suspended: set[str] = set(COMPONENTS) if self.cfg.suspended else set()
+        self._bloom_shards: dict[int, bytes] | None = None
+        self._hook("prepare_for_start_pre", self)
+        for c in COMPONENTS:
+            self._hook("prepare_for_start_component", c, self)
+        self._hook("prepare_for_start_post", self)
+        # crash cleanup: drop partial epochs beyond the committed one
+        self.store.prune_beyond(self.store.last_epoch())
+        self._bootstrap_robots()
+        self._hook("init", self)
+
+    def _bootstrap_robots(self) -> None:
+        """Seed per-host politeness state from the corpus ground truth
+        (the robots.txt-fetch analogue; a real deployment would fetch
+        /robots.txt in epoch 0 instead).  No-op when resuming."""
+        epoch = max(self.store.last_epoch(), 0)
+        if self.corpus is None or self.store.read_snapshot("robots", epoch) is not None:
+            return
+        robots0 = (
+            self.corpus.filter(F.col("host").isNotNull())
+            .groupBy("host")
+            .agg(F.max("crawl_delay_ms").alias("crawl_delay_ms"))
+            .select(
+                "host",
+                F.coalesce("crawl_delay_ms", F.lit(0)).alias("crawl_delay_ms"),
+                F.lit(self.cfg.tokens_per_epoch).alias("tokens_per_epoch"),
+                F.lit(0).cast("long").alias("next_allowed_ts"),
+                F.lit(None).cast("array<string>").alias("disallow_prefixes"),
+                F.lit(epoch).cast("int").alias("epoch"),
+            )
+        )
+        self.store.write("robots", robots0, epoch)
+
+    # -- lifecycle hooks (lib/spider_man.ex:45-61 order) --
+    def _hook(self, name: str, *args: Any) -> Any:
+        fn = self.cfg.callbacks.get(name)
+        return fn(*args) if fn else None
+
+    # -- seeding (insert_request/insert_requests analogue) --
+    def insert_requests(self, urls: list[str], **kw: Any) -> int:
+        """Canonicalize + dedup seeds into the frontier (epoch 0 or the
+        current committed epoch); returns admitted count."""
+        epoch = max(self.store.last_epoch(), 0)
+        rows = build_requests(urls, **kw)
+        df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
+        cand = canonicalize_frontier(df, self.cfg.base_url, self.cfg.n_host_shards)
+        seen = self.store.read_deltas("seen", epoch, SEEN_SCHEMA)
+        admitted = dedup_candidates(cand, seen) if self.cfg.dedup else cand
+        admitted = admitted.cache()
+        n = admitted.count()
+        frontier = self.store.read_snapshot("frontier", epoch, FRONTIER_SCHEMA)
+        self.store.rewrite(
+            "frontier", frontier.unionByName(admitted.select(
+                *[f.name for f in FRONTIER_SCHEMA.fields])), epoch
+        )
+        from spider_man_spark.plans.epoch import _seen_rows
+
+        new_seen = _seen_rows(admitted, self.cfg.bloom_shards, epoch)
+        prev_seen = self.store.read_deltas("seen", epoch, SEEN_SCHEMA)
+        # seed-time seen rows merge with the epoch's existing delta
+        self.store.rewrite("seen", prev_seen.unionByName(new_seen), epoch)
+        if self.store.last_epoch() < 0:
+            self.store.commit(epoch=0, job_name=self.cfg.job_name)
+        admitted.unpersist()
+        return n
+
+    # -- suspend / continue (engine.ex:145-191) --
+    def suspend(self, component: str | None = None) -> None:
+        self.suspended |= {component} if component else set(COMPONENTS)
+
+    def continue_(self, component: str | None = None) -> None:
+        self.suspended -= {component} if component else set(COMPONENTS)
+
+    @property
+    def status(self) -> str:
+        return "suspended" if self.suspended == set(COMPONENTS) else "running"
+
+    # -- epoch loop --
+    def step(self) -> EpochResult:
+        """Run exactly one epoch (commit epoch = last+1)."""
+        epoch = self.store.last_epoch() + 1
+        if self.cfg.bloom_enabled:
+            self._refresh_blooms(epoch - 1)
+        res = run_epoch(
+            self.store,
+            self.cfg,
+            epoch,
+            corpus=self.corpus,
+            fetcher=self.fetcher,
+            suspended=self.suspended,
+            bloom_shards=self._bloom_shards,
+        )
+        self.store.commit(epoch=epoch, job_name=self.cfg.job_name)
+        return res
+
+    def _refresh_blooms(self, up_to: int) -> None:
+        seen = self.store.read_deltas("seen", up_to, SEEN_SCHEMA)
+        shards = build_seen_shards(
+            seen, self.cfg.bloom_shards, self.cfg.bloom_bits_per_item, up_to
+        ).collect()
+        self._bloom_shards = {r.shard: bytes(r.bloom) for r in shards}
+
+    def run_until_zero(self, max_epochs: int | None = None) -> dict[str, Any]:
+        """Loop until the frontier is empty ``zero_checks`` epochs in a
+        row (the double-check of lib/spider_man.ex:204-211); returns
+        elapsed ms + per-epoch results."""
+        t0 = time.monotonic()
+        zero_streak = 0
+        results: list[EpochResult] = []
+        limit = max_epochs or self.cfg.max_epochs
+        while len(results) < limit:
+            res = self.step()
+            results.append(res)
+            zero_streak = zero_streak + 1 if res.is_zero else 0
+            if zero_streak >= self.cfg.zero_checks:
+                break
+        self.stop()
+        return {
+            "msec": int((time.monotonic() - t0) * 1000),
+            "epochs": len(results),
+            "results": results,
+        }
+
+    def stop(self) -> None:
+        for c in COMPONENTS:
+            self._hook("prepare_for_stop_component", c, self)
+        self._hook("prepare_for_stop", self)
+
+    # -- retry_failed (engine.ex:218-244) --
+    def retry_failed(self, component: str | None = None) -> int:
+        epoch = self.store.last_epoch()
+        failed = self.store.read_deltas("failed", epoch, FAILED_SCHEMA)
+        rows, keep = retry_ops.retry_failed(failed, component, self.cfg.max_retries)
+        rows = canonicalize_frontier(
+            rows, self.cfg.base_url, self.cfg.n_host_shards
+        ).cache()
+        n = rows.count()
+        if n:
+            frontier = self.store.read_snapshot("frontier", epoch, FRONTIER_SCHEMA)
+            self.store.rewrite("frontier", frontier.unionByName(rows), epoch)
+            # rewrite the failed deltas minus the retried rows
+            for e in self.store._epochs("failed", epoch):
+                delta = self.spark.read.parquet(
+                    f"{self.store.workdir}/failed/e_{e:05d}"
+                )
+                kept = delta.join(
+                    rows.select("url_key"), "url_key", "left_anti"
+                )
+                self.store.rewrite("failed", kept, e)
+        rows.unpersist()
+        return n
+
+    # -- stats / throughput (lib/spider_man.ex:148-164, 285-305) --
+    def metrics(self) -> DataFrame:
+        return self.store.read_deltas(
+            "metrics", self.store.last_epoch(), METRICS_SCHEMA
+        )
+
+    def stats(self) -> dict[str, Any]:
+        epoch = self.store.last_epoch()
+        m = self.metrics().groupBy("component").agg(
+            F.sum("total").alias("total"),
+            F.sum("success").alias("success"),
+            F.sum("fail").alias("fail"),
+            F.sum("duration_ms").alias("duration_ms"),
+        )
+        out: dict[str, Any] = {"epoch": epoch, "status": self.status}
+        for r in m.collect():
+            out[r.component] = {
+                "total": r.total, "success": r.success, "fail": r.fail,
+                "duration_ms": r.duration_ms,
+            }
+        frontier = self.store.read_snapshot("frontier", epoch, FRONTIER_SCHEMA)
+        out["frontier_size"] = frontier.count()
+        return out
+
+    def throughput(self) -> dict[str, float]:
+        """tps = success / (duration_ms/1000) per component
+        (lib/spider_man.ex:285-305)."""
+        out = {}
+        for comp, s in self.stats().items():
+            if isinstance(s, dict) and s.get("duration_ms"):
+                out[comp] = s["success"] / (s["duration_ms"] / 1000.0)
+        return out
+
+    # -- state access --
+    def items(self) -> DataFrame:
+        return self.store.read_deltas("items", self.store.last_epoch(), ITEMS_SCHEMA)
+
+    def failed(self) -> DataFrame:
+        return self.store.read_deltas("failed", self.store.last_epoch(), FAILED_SCHEMA)
+
+    def frontier(self) -> DataFrame:
+        return self.store.read_snapshot(
+            "frontier", self.store.last_epoch(), FRONTIER_SCHEMA
+        )
+
+    @classmethod
+    def load(
+        cls,
+        spark: SparkSession,
+        workdir: str,
+        corpus: DataFrame | None = None,
+        **cfg_kw: Any,
+    ) -> "CrawlJob":
+        """Resume from checkpoint (the ets_file restore analogue,
+        engine.ex:409-427): state is whatever the manifest committed."""
+        return cls(spark, CrawlConfig(workdir=workdir, **cfg_kw), corpus=corpus)

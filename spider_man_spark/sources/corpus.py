@@ -1,0 +1,176 @@
+"""Deterministic synthetic web corpus — the Requester.JustReturn analogue.
+
+The reference stubs the network in tests with a requester returning
+``{:ok, %Tesla.Env{url: url}}`` (test/support/just_return.ex:4-8); the
+rebuild's stub fetch is a *join against this corpus table*, which also
+carries image payloads for the SaveToFile path (save_to_file.ex:32-49)
+per the input_hint schema.
+
+Page rows are generated **distributed and JVM-side** (spark.range +
+column exprs — no Python in the generator hot path) so a 10^8-page
+corpus is as cheap as a 10^3-page one per-core; only the small image
+corpus (n_hosts × images_per_host real encoded images) is built on the
+driver with numpy.
+
+Graph shape (all arithmetic, fully deterministic):
+  host i => ``http://h{i}.test/p/{j}`` for j < pages(i); the first
+  ``hot_hosts`` hosts get 10x pages (hot-domain skew on purpose).
+  Page j links to ``out_degree`` same-host pages ((j*7+k+1) mod P) and,
+  when j%5==0, one cross-host page — so a BFS from page 0 expands.
+  Every page embeds one image tag + a caption paragraph.
+  status: 200 except j%37==13 -> 500 (retryable) and j%41==17 -> 404.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spider_man_spark.functions.images import (
+    make_image,
+    phash64,
+    png_encode,
+    qimg_encode,
+)
+from spider_man_spark.schemas import CORPUS_SCHEMA
+
+
+def host_name(i: int) -> str:
+    return f"h{i}.test"
+
+
+def page_url(host_idx: int, page_idx: int) -> str:
+    return f"http://h{host_idx}.test/p/{page_idx}"
+
+
+def image_url(host_idx: int, img_idx: int) -> str:
+    return f"http://h{host_idx}.test/img/{img_idx}"
+
+
+def image_id_of(host_idx: int, img_idx: int) -> str:
+    return f"h{host_idx}-img{img_idx}"
+
+
+def caption_of(host_idx: int, img_idx: int) -> str:
+    return f"caption-{image_id_of(host_idx, img_idx)}"
+
+
+def make_corpus(
+    spark: SparkSession,
+    n_hosts: int = 4,
+    pages_per_host: int = 25,
+    out_degree: int = 3,
+    images_per_host: int = 4,
+    hot_hosts: int = 1,
+    seed: int = 42,
+    image_fmt: str = "png",
+    crawl_delays: tuple[int, ...] = (0, 100, 200),
+) -> DataFrame:
+    """Build the corpus DataFrame (CORPUS_SCHEMA)."""
+    # --- per-host page counts (hot hosts get 10x) ---
+    hosts = spark.createDataFrame(
+        [
+            (i, host_name(i), pages_per_host * (10 if i < hot_hosts else 1),
+             crawl_delays[i % len(crawl_delays)])
+            for i in range(n_hosts)
+        ],
+        "host_idx int, host string, n_pages int, crawl_delay_ms int",
+    )
+
+    pages = hosts.select(
+        "host_idx",
+        "host",
+        "n_pages",
+        "crawl_delay_ms",
+        F.explode(F.sequence(F.lit(0), F.col("n_pages") - 1)).alias("page_idx"),
+    )
+
+    j = F.col("page_idx")
+    hi = F.col("host_idx")
+    np_ = F.col("n_pages")
+
+    same_host_links = F.transform(
+        F.sequence(F.lit(0), F.lit(out_degree - 1)),
+        lambda k: F.format_string(
+            "http://h%d.test/p/%d", hi, (j * 7 + k + 1) % np_
+        ),
+    )
+    cross_link = F.format_string(
+        "http://h%d.test/p/%d",
+        (hi + j + 1) % F.lit(n_hosts),
+        j % F.lit(pages_per_host),
+    )
+    links = F.when(
+        j % 5 == 0, F.concat(same_host_links, F.array(cross_link))
+    ).otherwise(same_host_links)
+
+    img_idx = j % F.lit(images_per_host)
+    img_src = F.format_string("http://h%d.test/img/%d", hi, img_idx)
+    caption = F.format_string("caption-h%d-img%d", hi, img_idx)
+
+    anchors = F.aggregate(
+        links,
+        F.lit(""),
+        lambda acc, u: F.concat(acc, F.lit('<a href="'), u, F.lit('">l</a>')),
+    )
+    body = F.concat(
+        F.lit("<html><body>"),
+        anchors,
+        F.lit('<img src="'),
+        img_src,
+        F.lit('"/><p class="caption">'),
+        caption,
+        F.lit("</p></body></html>"),
+    )
+
+    status = (
+        F.when(j % 37 == 13, F.lit(500))
+        .when(j % 41 == 17, F.lit(404))
+        .otherwise(F.lit(200))
+    )
+
+    page_rows = pages.select(
+        F.format_string("http://h%d.test/p/%d", hi, j).alias("url"),
+        F.col("host"),
+        status.alias("status"),
+        F.lit("text/html").alias("content_type"),
+        body.cast("binary").alias("body"),
+        links.alias("links"),
+        caption.alias("caption"),
+        F.col("crawl_delay_ms"),
+        F.when(j == 0, F.format_string("sid=h%d", hi)).otherwise(
+            F.lit(None)
+        ).alias("set_cookie"),
+    )
+
+    # --- image rows: small, real encoded payloads, driver-built ---
+    enc = png_encode if image_fmt == "png" else qimg_encode
+    img_rows = []
+    for i in range(n_hosts):
+        for k in range(images_per_host):
+            iid = image_id_of(i, k)
+            px = make_image(iid, 32 + 8 * (k % 4), 32 + 8 * (i % 3), seed)
+            data = enc(px)
+            img_rows.append(
+                {
+                    "url": image_url(i, k),
+                    "host": host_name(i),
+                    "status": 200,
+                    "content_type": f"image/{image_fmt}",
+                    "body": bytearray(data),
+                    "links": [],
+                    "caption": caption_of(i, k),
+                    "crawl_delay_ms": crawl_delays[i % len(crawl_delays)],
+                    "set_cookie": None,
+                }
+            )
+    images = spark.createDataFrame(pd.DataFrame(img_rows), CORPUS_SCHEMA)
+    return page_rows.unionByName(images)
+
+
+def expected_image_phash(host_idx: int, img_idx: int, seed: int = 42) -> int:
+    """Oracle helper for tests: the phash the crawl must produce."""
+    iid = image_id_of(host_idx, img_idx)
+    px = make_image(iid, 32 + 8 * (img_idx % 4), 32 + 8 * (host_idx % 3), seed)
+    return phash64(px)

@@ -1,0 +1,157 @@
+"""Fetch stage — the Downloader/Requester analogue.
+
+Two interchangeable fetchers with one output contract
+(``FETCHED_SCHEMA`` columns appended to the scheduled rows):
+
+* :func:`stub_fetch` — a *join against the corpus table* (the
+  Requester.JustReturn analogue); deterministic, network-free, used by
+  every test and bench.  URLs absent from the corpus behave like DNS
+  failures (status 0, reason ``not_found``).
+* :func:`http_fetch` — a real Arrow-batched HTTP fetcher
+  (``mapInPandas``; one pooled session per partition = the Finch-pool
+  analogue, finch.ex:7-9) with in-UDF bounded retry mirroring the
+  reference's default Tesla retry middleware: delay 500 ms, factor 2,
+  max_delay 4000 ms, max_retries 3, retry on status 400/500 or
+  transport error (requester/requester.ex:64-76).  Gated behind an
+  import-try; unit-tested with a fake transport (no network in this
+  sandbox).
+
+The request ``flag`` column round-trips to the response untouched
+(component/downloader.ex:35 — exercised by the reference's
+"flag transmit" test, common_spider_test.exs:133-159).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Columns carried from the frontier through the fetch.
+_CARRY = ["url_key", "url", "host", "depth", "priority", "retries", "flag", "options"]
+
+# Reference retry-middleware defaults (requester/requester.ex:64-76).
+RETRY_DELAY_MS = 500
+RETRY_MAX_DELAY_MS = 4000
+RETRY_MAX_RETRIES = 3
+RETRY_STATUSES = frozenset({400, 500})
+
+
+def stub_fetch(scheduled: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Deterministic fetch = equi-join scheduled.url -> corpus.url.
+
+    The corpus side is keyed by canonical url; Catalyst picks
+    broadcast vs shuffle join (AQE) — at 100 TB the corpus *is* the
+    web, so this is a plain shuffle equi-join on the url key and
+    scales with partitioning.
+    """
+    c = corpus.select(
+        F.col("url").alias("__curl"),
+        F.col("status").alias("__status"),
+        F.col("content_type").alias("__ct"),
+        F.col("body").alias("__body"),
+        F.col("set_cookie").alias("__set_cookie"),
+    )
+    joined = scheduled.select(*_CARRY).join(
+        c, scheduled["url"] == c["__curl"], "left"
+    )
+    return joined.select(
+        *_CARRY,
+        F.coalesce(F.col("__status"), F.lit(0)).alias("status"),
+        F.col("__ct").alias("content_type"),
+        F.when(F.col("__set_cookie").isNotNull(),
+               F.create_map(F.lit("set-cookie"), F.col("__set_cookie")))
+        .otherwise(F.lit(None).cast("map<string,string>"))
+        .alias("headers"),
+        F.col("__body").alias("body"),
+        # deterministic pseudo-latency for tps accounting
+        (F.pmod(F.xxhash64("url"), F.lit(90)) + 10).alias("fetch_ms"),
+    )
+
+
+def fetch_with_retry(
+    transport: Callable[[str, dict[str, str]], tuple[int, str | None, bytes | None, dict[str, str]]],
+    url: str,
+    options: dict[str, str],
+    sleep: Callable[[float], None] = time.sleep,
+) -> tuple[int, str | None, bytes | None, dict[str, str], int]:
+    """Bounded in-UDF retry (distinct from frontier-level `retries`):
+    returns (status, content_type, body, headers, attempts)."""
+    delay = RETRY_DELAY_MS
+    attempts = 0
+    status, ct, body, headers = 0, None, None, {}
+    while True:
+        attempts += 1
+        try:
+            status, ct, body, headers = transport(url, options)
+            err = status in RETRY_STATUSES
+        except Exception:
+            status, ct, body, headers, err = 0, None, None, {}, True
+        if not err or attempts > RETRY_MAX_RETRIES:
+            return status, ct, body, headers, attempts
+        sleep(delay / 1000.0)
+        delay = min(delay * 2, RETRY_MAX_DELAY_MS)
+
+
+def http_fetch(
+    scheduled: DataFrame,
+    timeout_s: float = 10.0,
+    pool_size: int = 32,
+) -> DataFrame:
+    """Real HTTP fetch via mapInPandas (requires urllib3; unavailable
+    networks surface as status 0 rows, never exceptions)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import urllib3
+
+            pool = urllib3.PoolManager(
+                maxsize=pool_size, timeout=urllib3.Timeout(total=timeout_s)
+            )
+
+            def transport(url, options):
+                method = (options or {}).get("method", "get").upper()
+                headers = {
+                    k[2:]: v for k, v in (options or {}).items() if k.startswith("h:")
+                }
+                r = pool.request(method, url, headers=headers, retries=False)
+                return (
+                    r.status,
+                    r.headers.get("Content-Type"),
+                    r.data,
+                    dict(r.headers),
+                )
+        except ImportError:  # pragma: no cover - sandbox has no urllib3 use
+            def transport(url, options):
+                raise ConnectionError("urllib3 unavailable")
+
+        for pdf in batches:
+            out = {k: pdf[k].values for k in _CARRY}
+            n = len(pdf)
+            statuses, cts, bodies, hdrs, ms = [], [], [], [], []
+            for url, options in zip(pdf["url"].values, pdf["options"].values):
+                t0 = time.monotonic()
+                s, ct, body, h, _ = fetch_with_retry(transport, url, options or {})
+                ms.append(int((time.monotonic() - t0) * 1000))
+                statuses.append(s)
+                cts.append(ct)
+                bodies.append(body)
+                hdrs.append({str(k): str(v) for k, v in (h or {}).items()})
+            res = pd.DataFrame(out)
+            res["status"] = pd.array(statuses, dtype="int32")
+            res["content_type"] = cts
+            res["headers"] = hdrs
+            res["body"] = bodies
+            res["fetch_ms"] = pd.array(ms, dtype="int64")
+            yield res
+
+    schema = (
+        "url_key string, url string, host string, depth int, priority int, "
+        "retries int, flag string, options map<string,string>, status int, "
+        "content_type string, headers map<string,string>, body binary, "
+        "fetch_ms long"
+    )
+    return scheduled.select(*_CARRY).mapInPandas(_run, schema=schema)

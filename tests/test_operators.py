@@ -1,0 +1,208 @@
+"""Operator unit tests: dedup/Bloom, politeness rank, retry split,
+pipeline engine (duplicate_filter_test.exs / pipeline_test.exs
+analogues)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from spider_man_spark.builders import build_requests
+from spider_man_spark.functions.urls import canonicalize_frontier
+from spider_man_spark.operators import pipeline as P
+from spider_man_spark.operators.dedup import (
+    anti_join_seen,
+    bloom_build,
+    bloom_probe,
+    build_seen_shards,
+    dedup_candidates,
+    intra_epoch_dedup,
+)
+from spider_man_spark.operators.politeness import rank_per_host, order_cols
+from spider_man_spark.operators.retry import requeue_failures, split_fetch_results
+from spider_man_spark.schemas import FRONTIER_SCHEMA, SEEN_SCHEMA
+
+
+def _frontier(spark, urls, **kw):
+    return canonicalize_frontier(
+        spark.createDataFrame(build_requests(urls, **kw), FRONTIER_SCHEMA),
+        n_shards=8,
+    )
+
+
+# ---------------- dedup ----------------
+
+def test_duplicate_filter_first_wins(spark):
+    """duplicate_filter_test.exs:14-26: first insert passes, second is
+    dropped."""
+    seen = spark.createDataFrame([], SEEN_SCHEMA)
+    c1 = _frontier(spark, ["http://a.io/x", "http://a.io/x", "http://a.io/y"])
+    out = dedup_candidates(c1, seen)
+    assert sorted(r.url_key for r in out.collect()) == [
+        "http://a.io/x", "http://a.io/y",
+    ]
+    # now with x in seen -> only new keys pass
+    seen2 = spark.createDataFrame(
+        [("http://a.io/x", 1, 0, 0)], SEEN_SCHEMA
+    )
+    out2 = dedup_candidates(c1, seen2)
+    assert [r.url_key for r in out2.collect()] == ["http://a.io/y"]
+
+
+def test_intra_epoch_dedup_deterministic_winner(spark):
+    rows = build_requests(["http://a.io/x"], depth=5) + build_requests(
+        ["http://a.io/x"], depth=1
+    )
+    df = canonicalize_frontier(
+        spark.createDataFrame(rows, FRONTIER_SCHEMA), n_shards=8
+    )
+    out = intra_epoch_dedup(df).collect()
+    assert len(out) == 1
+    assert out[0].depth == 1  # min (priority, depth) wins
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    rng = np.random.default_rng(7)
+    present = rng.integers(-(2**62), 2**62, size=5000, dtype=np.int64)
+    absent = rng.integers(-(2**62), 2**62, size=5000, dtype=np.int64)
+    bl = bloom_build(present, bits_per_item=16)
+    assert bloom_probe(bl, present).all()  # zero false negatives
+    fp = bloom_probe(bl, absent).mean()
+    assert fp < 0.01  # 16 bits/item, k=7 -> ~0.03% expected
+
+
+def test_bloom_dedup_equals_exact_dedup(spark):
+    urls = [f"http://h{i % 5}.io/p/{i}" for i in range(200)]
+    cand = _frontier(spark, urls)
+    seen_rows = cand.limit(80).select(
+        "url_key", "url_hash",
+        F.pmod("url_hash", F.lit(64)).cast("int").alias("shard"),
+        F.lit(0).alias("epoch"),
+    )
+    seen = spark.createDataFrame(seen_rows.collect(), SEEN_SCHEMA)
+    exact = sorted(
+        r.url_key for r in dedup_candidates(cand, seen).collect()
+    )
+    blooms = {
+        r.shard: bytes(r.bloom)
+        for r in build_seen_shards(seen, 64).collect()
+    }
+    with_bloom = sorted(
+        r.url_key
+        for r in dedup_candidates(
+            cand, seen, bloom_shards=blooms, n_shards=64
+        ).collect()
+    )
+    assert with_bloom == exact
+
+
+# ---------------- politeness ----------------
+
+def test_two_phase_rank_equals_naive_rank(spark):
+    urls = [f"http://h{i % 3}.io/p/{i}" for i in range(300)]
+    df = _frontier(spark, urls).withColumn(
+        "tokens_per_epoch", F.lit(7)
+    )
+    two_phase = sorted(
+        r.url_key for r in rank_per_host(df, 7, rank_salts=4).collect()
+    )
+    w = Window.partitionBy("host").orderBy(*order_cols())
+    naive = sorted(
+        r.url_key
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 7)
+        .collect()
+    )
+    assert two_phase == naive
+    assert len(naive) == 21  # 3 hosts x 7 tokens
+
+
+# ---------------- retry ----------------
+
+def test_split_and_requeue(spark):
+    rows = [
+        ("k1", "http://a.io/1", "a.io", 200, 2),
+        ("k2", "http://a.io/2", "a.io", 500, 2),
+        ("k3", "http://a.io/3", "a.io", 404, 0),
+        ("k4", "http://a.io/4", "a.io", 0, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "url_key string, url string, host string, status int, retries int"
+    ).select(
+        "*",
+        F.lit(0).alias("depth"),
+        F.lit(0).alias("priority"),
+        F.lit(None).cast("string").alias("flag"),
+        F.lit(None).cast("map<string,string>").alias("options"),
+    )
+    ok, fail = split_fetch_results(df)
+    assert [r.url_key for r in ok.collect()] == ["k1"]
+    retry, dead = requeue_failures(fail, "downloader", epoch=3)
+    got_retry = {r.url_key: r.retries for r in retry.collect()}
+    assert got_retry == {"k2": 1, "k4": 0}
+    dead_rows = dead.collect()
+    assert len(dead_rows) == 1
+    assert dead_rows[0].url_key == "k3"
+    assert dead_rows[0].component == "downloader"
+    assert dead_rows[0].reason == "status_404"
+    assert dead_rows[0].retries == -1
+    assert dead_rows[0].epoch == 3
+
+
+# ---------------- pipeline engine ----------------
+
+def test_pipeline_forms_and_chaining(spark):
+    """pipeline_test.exs:75-134: callable and (callable, arg) stage
+    forms chain in order."""
+    df = spark.range(5).withColumnRenamed("id", "v")
+
+    def add(df, n):
+        return df.withColumn("v", F.col("v") + n)
+
+    def double(df):
+        return df.withColumn("v", F.col("v") * 2)
+
+    out = P.run_pipeline(df, [(add, 10), double])
+    ok, skipped, errored = P.split_statuses(out)
+    assert sorted(r.v for r in ok.collect()) == [20, 22, 24, 26, 28]
+    assert skipped.count() == 0 and errored.count() == 0
+
+
+def test_pipeline_skip_and_error_short_circuit(spark):
+    df = spark.range(6).withColumnRenamed("id", "v")
+    stages = [
+        lambda d: P.skip_where(d, F.col("v") < 2, "too small"),
+        lambda d: P.fail_where(d, F.col("v") > 4, "too big"),
+        lambda d: d.withColumn("v", F.col("v") * 10),
+    ]
+    ok, skipped, errored = P.split_statuses(P.run_pipeline(df, stages))
+    # skipped rows kept their value (stage 3 only transforms... note:
+    # column transforms apply to all rows; routing is via status)
+    assert skipped.count() == 2
+    assert errored.count() == 1
+    assert errored.first()._reason == "too big"
+    assert sorted(r.v for r in ok.collect()) == [20, 30, 40]
+
+
+def test_pipeline_exception_catchall(spark):
+    """A raising stage converts to per-row error status
+    (pipeline.ex:30-38 rescue/catch)."""
+    df = spark.range(3).withColumnRenamed("id", "v")
+
+    def boom(d):
+        raise RuntimeError("kaput")
+
+    ok, skipped, errored = P.split_statuses(P.run_pipeline(df, [boom]))
+    assert ok.count() == 0
+    assert errored.count() == 3
+    assert "kaput" in errored.first()._reason
+
+
+def test_anti_join_seen_basic(spark):
+    cand = _frontier(spark, ["http://a.io/1", "http://a.io/2"])
+    seen = spark.createDataFrame([("http://a.io/1", 0, 0, 0)], SEEN_SCHEMA)
+    assert [r.url_key for r in anti_join_seen(cand, seen).collect()] == [
+        "http://a.io/2"
+    ]

@@ -1,0 +1,176 @@
+"""Training-data text ops + dedup sketches + similarity search."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spider_man_spark.functions.sketches import (
+    jaccard,
+    simhash64_of,
+    word_shingles,
+)
+from spider_man_spark.functions.text import with_text_features
+from spider_man_spark.operators.similarity import (
+    ann_topk_lsh,
+    brute_force_dup_pairs,
+    cosine_topk,
+    embedding_dup_pairs,
+    random_planes,
+)
+from spider_man_spark.operators.textdedup import (
+    dedupe_exact,
+    exact_dup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog in the park today"),
+    (1, "the quick brown fox jumps over the lazy dog in the park today"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat in the park today"),  # near dup
+    (3, "completely different content about database query optimization"),
+    (4, "spark is a unified analytics engine for large scale data"),
+    (5, "The  Quick  Brown  Fox jumps over the lazy dog in the park today"),  # ws/case dup of 0
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string").cache()
+
+
+def test_text_features(spark, docs):
+    feats = {r.doc_id: r for r in with_text_features(docs).collect()}
+    assert feats[0].n_tokens == 13
+    assert feats[0].lang_pred == "en"  # 'the'/'in' stopwords present
+    assert feats[3].lang_pred == "unknown"
+    assert 0 <= feats[0].quality <= 1
+    # normalization folds case+whitespace: fingerprints equal
+    assert feats[0].fingerprint == feats[5].fingerprint
+    assert feats[0].fingerprint != feats[2].fingerprint
+    # empty-text edge
+    empty = spark.createDataFrame([(9, "")], "doc_id int, text string")
+    e = with_text_features(empty).first()
+    assert e.n_tokens == 0 and e.n_bpe_tokens == 0 and e.quality is not None
+
+
+def test_dedupe_exact_and_pairs(spark, docs):
+    kept = sorted(r.doc_id for r in dedupe_exact(docs).collect())
+    assert kept == [0, 2, 3, 4]  # 1 and 5 are dups of 0
+    pairs = sorted(
+        (r.id_a, r.id_b) for r in exact_dup_pairs(docs).collect()
+    )
+    assert pairs == [(0, 1), (0, 5), (1, 5)]
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = minhash_lsh_pairs(
+        docs, shingle_k=2, num_perm=64, bands=16, threshold=0.5
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in got  # exact dup always collides
+    assert (0, 2) in got or (1, 2) in got  # near dup (1-word diff)
+    assert not any({a, b} == {3, 4} for a, b in got)
+    for r in pairs:
+        if (r.id_a, r.id_b) == (0, 1):
+            assert r.jaccard == 1.0
+
+
+def test_minhash_jaccard_estimate_accuracy(spark, docs):
+    """Signature agreement rate approximates true Jaccard."""
+    from spider_man_spark.functions.sketches import minhash_signature
+
+    sk = docs.select(
+        "doc_id", word_shingles(F.col("text"), 2).alias("sh")
+    ).withColumn("sig", minhash_signature(F.col("sh"), 128))
+    rows = {r.doc_id: r for r in sk.collect()}
+    true_j = (
+        docs.alias("a")
+        .crossJoin(docs.alias("b"))
+        .filter((F.col("a.doc_id") == 0) & (F.col("b.doc_id") == 2))
+        .select(
+            jaccard(
+                word_shingles(F.col("a.text"), 2),
+                word_shingles(F.col("b.text"), 2),
+            ).alias("j")
+        )
+        .first()
+        .j
+    )
+    est = np.mean(
+        [a == b for a, b in zip(rows[0].sig, rows[2].sig)]
+    )
+    assert abs(est - true_j) < 0.15
+
+
+def test_simhash_near_dup(spark, docs):
+    d01 = bin(simhash64_of(DOCS[0][1]) ^ simhash64_of(DOCS[2][1])).count("1")
+    d03 = bin(simhash64_of(DOCS[0][1]) ^ simhash64_of(DOCS[3][1])).count("1")
+    assert d01 < d03  # near-dup closer than unrelated
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(docs, max_hamming=6).collect()
+    }
+    assert (0, 1) in pairs and (0, 5) in pairs
+    assert not any({a, b} == {3, 4} for a, b in pairs)
+
+
+def test_ngram_jaccard_pairs_exact(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=4, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs
+    assert not any({a, b} == {3, 4} for (a, b) in pairs)
+
+
+# ---------------- embeddings / ANN ----------------
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 16)).astype("float32")
+    base[7] = base[3] + rng.standard_normal(16).astype("float32") * 0.01  # near-dup
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    return (
+        spark.createDataFrame(rows, "vec_id int, embedding array<float>").cache(),
+        base,
+    )
+
+
+def test_cosine_topk_matches_numpy(spark, vectors):
+    df, base = vectors
+    q = [float(x) for x in base[3]]
+    got = [r.vec_id for r in cosine_topk(df, q, k=5).collect()]
+    sims = base @ base[3] / (
+        np.linalg.norm(base, axis=1) * np.linalg.norm(base[3])
+    )
+    want = list(np.argsort(-np.round(sims, 6), kind="stable")[:5])
+    assert got[0] == 3 and got[1] == 7  # self, then the near-dup
+    assert set(got) == set(int(i) for i in want)
+
+
+def test_ann_lsh_recall(spark, vectors):
+    df, base = vectors
+    q = [float(x) for x in base[3]]
+    planes = random_planes(16, n_planes=8)
+    got = [r.vec_id for r in ann_topk_lsh(df, q, k=3, planes=planes,
+                                          probe_hamming=2).collect()]
+    assert 3 in got and 7 in got  # near-identical vectors share buckets
+
+
+def test_embedding_dup_pairs_lsh_vs_brute(spark, vectors):
+    df, _ = vectors
+    brute = {
+        (r.id_a, r.id_b) for r in brute_force_dup_pairs(df, 0.99).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs(df, 0.99, dim=16).collect()
+    }
+    assert brute == {(3, 7)}
+    assert lsh == brute
