@@ -51,6 +51,18 @@ def fail_where(df: DataFrame, cond: Column, reason: str) -> DataFrame:
     return mark_where(df, cond, ERROR, reason)
 
 
+def json_encode_stage(columns: Sequence[str] | None = None):
+    """P4 Pipeline.JsonEncode analogue (json_encode.ex:18-20): replace
+    the event payload with its JSON encoding (adds a ``json`` column
+    from the selected struct)."""
+
+    def _stage(df: DataFrame) -> DataFrame:
+        cols = [c for c in (columns or df.columns) if not c.startswith("_")]
+        return df.withColumn("json", F.to_json(F.struct(*cols)))
+
+    return _stage
+
+
 Stage = Callable[..., DataFrame]
 
 

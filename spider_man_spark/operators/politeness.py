@@ -73,21 +73,34 @@ def rank_per_host(
 ) -> DataFrame:
     """Two-phase deterministic per-host top-``tokens`` selection.
     Requires a ``tokens_per_epoch`` column (nullable -> default)."""
+    picked, _ = rank_split_per_host(df, tokens_default, rank_salts)
+    return picked
+
+
+def rank_split_per_host(
+    df: DataFrame,
+    tokens_default: int = DEFAULT_TOKENS_PER_EPOCH,
+    rank_salts: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """(picked, losers): the two-phase top-``tokens`` with the
+    non-picked rows returned as a side output instead of requiring the
+    caller to anti-join them back out (saves a full-frontier shuffle
+    per epoch).  losers = phase-1 losers (rank > tokens within their
+    (host, salt) group) ∪ phase-2 losers (≤ tokens x (salts-1) rows
+    per host)."""
     tokens = F.coalesce(F.col("tokens_per_epoch"), F.lit(tokens_default))
     salted = df.withColumn(
         "__salt", F.pmod(F.xxhash64("url_key"), F.lit(rank_salts))
     )
     w1 = Window.partitionBy("host", "__salt").orderBy(*order_cols())
-    phase1 = (
-        salted.withColumn("__r1", F.row_number().over(w1))
-        .filter(F.col("__r1") <= tokens)
-        .drop("__r1", "__salt")
-    )
+    ranked1 = salted.withColumn("__r1", F.row_number().over(w1))
+    losers1 = ranked1.filter(F.col("__r1") > tokens).drop("__r1", "__salt")
+    survivors = ranked1.filter(F.col("__r1") <= tokens).drop("__r1", "__salt")
     w2 = Window.partitionBy("host").orderBy(*order_cols())
-    return (
-        phase1.withColumn("host_rank", F.row_number().over(w2))
-        .filter(F.col("host_rank") <= tokens)
-    )
+    ranked2 = survivors.withColumn("host_rank", F.row_number().over(w2))
+    picked = ranked2.filter(F.col("host_rank") <= tokens)
+    losers2 = ranked2.filter(F.col("host_rank") > tokens).drop("host_rank")
+    return picked, losers1.unionByName(losers2)
 
 
 def schedule_epoch(
@@ -108,23 +121,26 @@ def schedule_epoch(
     deferred: everything else — stays in the frontier for the next
     epoch (the reference leaves un-pulled rows in the ETS table).
     """
+    politeness_cols = [
+        "crawl_delay_ms", "tokens_per_epoch", "next_allowed_ts",
+        "disallow_prefixes",
+    ]
     enriched = join_robots(frontier, robots)
-    eligible, _blocked = robots_filter(enriched, epoch_ts)
-    picked = rank_per_host(eligible, tokens_default, rank_salts)
+    eligible, blocked = robots_filter(enriched, epoch_ts)
+    picked, losers = rank_split_per_host(eligible, tokens_default, rank_salts)
     if max_per_epoch > 0:
         w = Window.orderBy(*order_cols())
-        picked = (
-            picked.withColumn("__g", F.row_number().over(w))
-            .filter(F.col("__g") <= max_per_epoch)
-            .drop("__g")
+        picked = picked.withColumn("__g", F.row_number().over(w))
+        over_cap = picked.filter(F.col("__g") > max_per_epoch).drop(
+            "__g", "host_rank"
         )
-    scheduled = picked.drop(
-        "crawl_delay_ms", "tokens_per_epoch", "next_allowed_ts",
-        "disallow_prefixes", "host_rank",
-    )
-    deferred = frontier.join(
-        scheduled.select("url_key"), "url_key", "left_anti"
-    )
+        picked = picked.filter(F.col("__g") <= max_per_epoch).drop("__g")
+        losers = losers.unionByName(over_cap)
+    scheduled = picked.drop(*politeness_cols, "host_rank")
+    # deferred = rank losers ∪ politeness-blocked rows — derived as side
+    # outputs of the same lineage, NOT an anti-join against the full
+    # frontier (that join was a second full-frontier shuffle per epoch)
+    deferred = losers.unionByName(blocked).drop(*politeness_cols)
     return scheduled, deferred
 
 

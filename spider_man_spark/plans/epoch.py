@@ -69,6 +69,17 @@ class EpochResult:
         return self.scheduled == 0 and self.frontier_size == 0
 
 
+def _obs_get(obs, fallback, key: str = "n") -> int:
+    """Read an Observation metric; fall back to running ``fallback()``
+    (a count on the cached frame) if the metrics row is unavailable —
+    observe + persist + AQE occasionally loses the row on exotic plans
+    (e.g. statically-empty branches)."""
+    try:
+        return int(obs.get[key])
+    except Exception:  # noqa: BLE001 - deliberate safety net
+        return int(fallback())
+
+
 def _seen_rows(admitted: DataFrame, n_shards: int, epoch: int) -> DataFrame:
     return admitted.select(
         "url_key",
@@ -86,6 +97,7 @@ def run_epoch(
     fetcher=None,
     suspended: set[str] | None = None,
     bloom_shards: dict[int, bytes] | None = None,
+    sink=None,
 ) -> EpochResult:
     """Execute epoch N: read state at N-1, commit state at N.
 
@@ -123,21 +135,87 @@ def run_epoch(
         )
     if cfg.cookies:
         scheduled = inject_cookie_header(scheduled, session)
-    scheduled = scheduled.persist(StorageLevel.MEMORY_AND_DISK)
-    res.scheduled = scheduled.count()
+    if cfg.user_agents:
+        # S9 UserAgent middleware: seeded-hash UA per (url_key, epoch)
+        from spider_man_spark.functions.urls import ua_select
 
-    if res.scheduled:
+        ua = ua_select(F.col("url_key"), epoch, cfg.user_agents)
+        scheduled = scheduled.withColumn(
+            "options",
+            F.map_concat(
+                F.coalesce(
+                    F.col("options"), F.from_json(F.lit("{}"), "map<string,string>")
+                ),
+                F.create_map(F.lit("h:user-agent"), ua),
+            ),
+        )
+    if cfg.splash_url:
+        # P6 Splash: rewrite the fetch URL to the JS-rendering endpoint
+        from spider_man_spark.functions.urls import splash_rewrite
+
+        scheduled = scheduled.withColumn(
+            "url", splash_rewrite(F.col("url"), cfg.splash_url)
+        )
+    if cfg.pipelines:
+        # P1/P8: user pre-pipelines over the scheduled batch; skiped
+        # rows are dropped (no retry), errored rows dead-letter
+        from spider_man_spark.operators.pipeline import run_pipeline, split_statuses
+
+        piped = run_pipeline(scheduled, cfg.pipelines)
+        scheduled, _skipped, _errored = split_statuses(piped)
+    # scheduled count comes from an Observation during the first job
+    # that materializes the persist — no standalone count action.
+    # (Not attached on the suspended path: its statically-empty plan
+    # gets PropagateEmptyRelation'd and the metrics node vanishes.)
+    from pyspark.sql import Observation
+
+    run_fetch = "downloader" not in suspended
+    obs_sched = None
+    if run_fetch:
+        obs_sched = Observation()
+        scheduled = scheduled.observe(obs_sched, F.count(F.lit(1)).alias("n"))
+    scheduled = scheduled.persist(StorageLevel.MEMORY_AND_DISK)
+    if run_fetch:
         if fetcher is not None:
             fetched = fetcher(scheduled)
         else:
             if corpus is None:
                 raise ValueError("corpus required for stub fetch")
             fetched = stub_fetch(scheduled, corpus)
+        if cfg.post_pipelines:
+            # post-pipelines over %{request, env} (downloader.ex:38-41)
+            from spider_man_spark.operators.pipeline import (
+                run_pipeline,
+                split_statuses,
+            )
+
+            fetched, _sk, _er = split_statuses(
+                run_pipeline(fetched, cfg.post_pipelines)
+            )
+        # one Observation yields ok/fail/dead counts as a side effect
+        # of the first action that materializes the fetched cache — no
+        # separate count jobs
+        from pyspark.sql import Observation
+
+        obs_fetch = Observation()
+        fetched = fetched.observe(
+            obs_fetch,
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when((F.col("status") >= 200) & (F.col("status") <= 299), 1)).alias("ok"),
+            F.count(
+                F.when(
+                    ~((F.col("status") >= 200) & (F.col("status") <= 299))
+                    & (F.col("retries") <= 0),
+                    1,
+                )
+            ).alias("dead"),
+        )
         fetched = fetched.persist(StorageLevel.MEMORY_AND_DISK)
         ok_now, failed = split_fetch_results(fetched)
         retry_rows, dead = requeue_failures(failed, "downloader", epoch)
     else:
         fetched = None
+        obs_fetch = None
         ok_now = None
         retry_rows = dead = None
     res.durations_ms["downloader"] = int((time.monotonic() - t0) * 1000)
@@ -206,32 +284,52 @@ def run_epoch(
     frontier_next = parts[0]
     for p in parts[1:]:
         frontier_next = frontier_next.unionByName(p)
-    # repartition by host_salt: co-locates each host's URLs so the next
-    # epoch's politeness window shuffles less and hot hosts stay spread
-    # across rank_salts tasks.
-    frontier_next = frontier_next.repartition(
-        max(store.spark.sparkContext.defaultParallelism, 1), "host_salt"
-    )
+    # NOTE: no repartition before the write — the next epoch's
+    # politeness window hashes by (host, url-salt), which no stored
+    # layout can satisfy, so an extra exchange here would buy nothing
+    # and costs a full frontier shuffle per epoch.  AQE coalescing
+    # keeps output file counts sane.
+    # observe the size during the write — no read-back job
+    obs = Observation()
+    frontier_next = frontier_next.observe(obs, F.count(F.lit(1)).alias("n"))
     store.write("frontier", frontier_next, epoch)
-    res.frontier_size = store.read_snapshot("frontier", epoch).count()
+    res.frontier_size = _obs_get(
+        obs, lambda: store.read_snapshot("frontier", epoch).count()
+    )
+
+    # fetch-side counts are now observable (the frontier write above
+    # materialized the fetched cache)
+    if obs_fetch is not None:
+        res.fetched_ok = _obs_get(obs_fetch, lambda: ok_now.count(), "ok")
+        n_fetched = _obs_get(obs_fetch, lambda: fetched.count(), "n")
+        res.fetch_fail = n_fetched - res.fetched_ok
+        res.dead = _obs_get(obs_fetch, lambda: dead.count(), "dead")
 
     if admitted is not None:
-        store.write("seen", _seen_rows(admitted, cfg.bloom_shards, epoch), epoch)
-        res.new_requests = admitted.count()
+        obs_seen = Observation()
+        seen_rows = _seen_rows(admitted, cfg.bloom_shards, epoch).observe(
+            obs_seen, F.count(F.lit(1)).alias("n")
+        )
+        store.write("seen", seen_rows, epoch)
+        res.new_requests = _obs_get(obs_seen, lambda: admitted.count())
         admitted.unpersist()
-    if dead is not None:
-        dead = dead.persist(StorageLevel.MEMORY_AND_DISK)
-        res.dead = dead.count()
-        if res.dead:
-            store.write("failed", dead.select(
-                *[f.name for f in FAILED_SCHEMA.fields]), epoch)
-        dead.unpersist()
+    if dead is not None and res.dead:
+        store.write("failed", dead.select(
+            *[f.name for f in FAILED_SCHEMA.fields]), epoch)
     if items_all is not None and write_items:
         t1 = time.monotonic()
         items_all = items_all.persist(StorageLevel.MEMORY_AND_DISK)
-        res.items = items_all.count()
-        if res.items:
-            store.write("items", items_all, epoch)
+        obs_items = Observation()
+        store.write(
+            "items",
+            items_all.observe(obs_items, F.count(F.lit(1)).alias("n")),
+            epoch,
+        )
+        res.items = _obs_get(obs_items, lambda: items_all.count())
+        if res.items and sink is not None:
+            # user-configured sink(s) on top of the state table
+            # (K6 dispatch; Multi caches once and fans out)
+            sink.store(items_all, epoch)
         res.durations_ms["item_processor"] = int((time.monotonic() - t1) * 1000)
         items_all.unpersist()
         if parked_items is not None:
@@ -255,17 +353,20 @@ def run_epoch(
             epoch,
         )
 
-    if ok_now is not None:
-        res.fetched_ok = ok_now.count()
-        res.fetch_fail = res.scheduled - res.fetched_ok
-        if cfg.cookies:
-            new_sess = harvest_cookies(ok_now, epoch)
-            store.write("session", merge_sessions(session, new_sess, epoch), epoch)
+    if ok_now is not None and cfg.cookies:
+        new_sess = harvest_cookies(ok_now, epoch)
+        store.write("session", merge_sessions(session, new_sess, epoch), epoch)
 
     robots_next = advance_robots(
         robots, scheduled, epoch_ts, epoch, cfg.tokens_per_epoch
     )
     store.write("robots", robots_next, epoch)
+    # by now every branch has materialized the scheduled cache
+    res.scheduled = (
+        _obs_get(obs_sched, lambda: scheduled.count())
+        if obs_sched is not None
+        else 0
+    )
 
     total_ms = int((time.monotonic() - t_all) * 1000)
     metrics_rows = [

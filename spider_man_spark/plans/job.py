@@ -55,6 +55,19 @@ class CrawlJob:
         self.store = StateStore(spark, self.cfg.workdir)
         self.suspended: set[str] = set(COMPONENTS) if self.cfg.suspended else set()
         self._bloom_shards: dict[int, bytes] | None = None
+        # user sinks on top of the items state table ("table" IS the
+        # state table; False disables the stage via cfg.storage checks)
+        from spider_man_spark.storage import resolve_storage
+
+        self.sink = (
+            None
+            if self.cfg.storage in (False, None, "table")
+            else resolve_storage(self.cfg.storage, self.cfg.workdir)
+        )
+        # dynamic fetch options (the DynamicFinch switch_finch
+        # analogue, dynamic_finch.ex:107-150): re-read every epoch so
+        # proxy/pool/UA config changes apply without restart
+        self.fetch_options: dict[str, Any] = {}
         self._hook("prepare_for_start_pre", self)
         for c in COMPONENTS:
             self._hook("prepare_for_start_component", c, self)
@@ -95,9 +108,31 @@ class CrawlJob:
     def insert_requests(self, urls: list[str], **kw: Any) -> int:
         """Canonicalize + dedup seeds into the frontier (epoch 0 or the
         current committed epoch); returns admitted count."""
-        epoch = max(self.store.last_epoch(), 0)
         rows = build_requests(urls, **kw)
         df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
+        return self.insert_requests_df(df)
+
+    def insert_requests_df(self, df) -> int:
+        """Distributed seed path: accepts a DataFrame with at least a
+        ``url`` column (missing frontier columns are defaulted) — at
+        10^10-frontier scale seeds come from a table, not a driver
+        list."""
+        epoch = max(self.store.last_epoch(), 0)
+        defaults = {
+            "url_key": F.col("url"),
+            "host": F.lit(None).cast("string"),
+            "host_salt": F.lit(None).cast("int"),
+            "url_hash": F.lit(None).cast("long"),
+            "depth": F.lit(0),
+            "priority": F.lit(0),
+            "retries": F.lit(self.cfg.max_retries),
+            "flag": F.lit(None).cast("string"),
+            "options": F.lit(None).cast("map<string,string>"),
+        }
+        for name, default in defaults.items():
+            if name not in df.columns:
+                df = df.withColumn(name, default)
+        df = df.select(*[f.name for f in FRONTIER_SCHEMA.fields])
         cand = canonicalize_frontier(df, self.cfg.base_url, self.cfg.n_host_shards)
         seen = self.store.read_deltas("seen", epoch, SEEN_SCHEMA)
         admitted = dedup_candidates(cand, seen) if self.cfg.dedup else cand
@@ -136,17 +171,58 @@ class CrawlJob:
         epoch = self.store.last_epoch() + 1
         if self.cfg.bloom_enabled:
             self._refresh_blooms(epoch - 1)
+        self._reload_fetch_options(epoch)
+        fetcher = self.fetcher
+        if fetcher is None and self.corpus is None:
+            # no corpus and no custom fetcher: real HTTP path, with
+            # per-epoch re-read fetch options (proxy/pool hot-swap,
+            # the DynamicFinch analogue)
+            from spider_man_spark.sources.fetch import http_fetch
+
+            opts = dict(self.fetch_options)
+
+            def fetcher(df, _o=opts):
+                return http_fetch(
+                    df,
+                    timeout_s=float(_o.get("timeout_s", 10.0)),
+                    pool_size=int(_o.get("pool_size", 32)),
+                    proxy=_o.get("proxy"),
+                )
+
         res = run_epoch(
             self.store,
             self.cfg,
             epoch,
             corpus=self.corpus,
-            fetcher=self.fetcher,
+            fetcher=fetcher,
             suspended=self.suspended,
             bloom_shards=self._bloom_shards,
+            sink=self.sink,
         )
         self.store.commit(epoch=epoch, job_name=self.cfg.job_name)
         return res
+
+    def switch_fetch_options(self, **opts: Any) -> None:
+        """DynamicFinch.switch_finch analogue: persist new fetch
+        options (proxy, pool size, ...); applied from the next epoch."""
+        import json
+        import os
+
+        self.fetch_options.update(opts)
+        p = os.path.join(self.cfg.workdir, "fetch_config.json")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.fetch_options, f)
+        os.replace(tmp, p)
+
+    def _reload_fetch_options(self, epoch: int) -> None:
+        import json
+        import os
+
+        p = os.path.join(self.cfg.workdir, "fetch_config.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                self.fetch_options = json.load(f)
 
     def _refresh_blooms(self, up_to: int) -> None:
         seen = self.store.read_deltas("seen", up_to, SEEN_SCHEMA)

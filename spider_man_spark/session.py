@@ -44,7 +44,21 @@ def get_spark(
         # splitting — critical for hot-domain skew at crawl scale.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce by data size, not by core count: crawl epochs run
+        # many small-to-medium shuffles where per-task fixed cost
+        # dominates; without this AQE keeps cores x partitions alive
+        # and the epoch pays ~20 shuffles x P task overheads.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # no implicit broadcast joins: the engine's medium tables
+        # (scheduled slice, seen deltas) flip into broadcasts under
+        # AQE stats and get re-shipped to EVERY executor each epoch —
+        # measured as the dominant stage at 8 executors.  Per-host
+        # state (robots/session) is broadcast via explicit hints,
+        # which ignore this threshold.
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         # Arrow for the vectorized fetch/parse/image UDFs.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
@@ -54,6 +68,17 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    # shuffle scratch on tmpfs when available: local-mode shuffles are
+    # disk-latency-bound at high thread counts (a real cluster gets
+    # this from NVMe-local scratch per executor)
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
+    if master.startswith("local-cluster"):
+        # separate executor JVMs spawn their own Python workers, which
+        # need this package on their path (the spark-submit --py-files
+        # equivalent for the in-sandbox multi-executor mode)
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        builder = builder.config("spark.executorEnv.PYTHONPATH", repo_root)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

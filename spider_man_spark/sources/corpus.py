@@ -8,9 +8,9 @@ per the input_hint schema.
 
 Page rows are generated **distributed and JVM-side** (spark.range +
 column exprs — no Python in the generator hot path) so a 10^8-page
-corpus is as cheap as a 10^3-page one per-core; only the small image
-corpus (n_hosts × images_per_host real encoded images) is built on the
-driver with numpy.
+corpus is as cheap as a 10^3-page one per-core; image rows are
+generated distributed too (Arrow-batched numpy encode, crc32-seeded
+so driver/executor placement can't change the pixels).
 
 Graph shape (all arithmetic, fully deterministic):
   host i => ``http://h{i}.test/p/{j}`` for j < pages(i); the first
@@ -144,28 +144,41 @@ def make_corpus(
         ).alias("set_cookie"),
     )
 
-    # --- image rows: small, real encoded payloads, driver-built ---
-    enc = png_encode if image_fmt == "png" else qimg_encode
-    img_rows = []
-    for i in range(n_hosts):
-        for k in range(images_per_host):
-            iid = image_id_of(i, k)
-            px = make_image(iid, 32 + 8 * (k % 4), 32 + 8 * (i % 3), seed)
-            data = enc(px)
-            img_rows.append(
-                {
-                    "url": image_url(i, k),
-                    "host": host_name(i),
-                    "status": 200,
-                    "content_type": f"image/{image_fmt}",
-                    "body": bytearray(data),
-                    "links": [],
-                    "caption": caption_of(i, k),
-                    "crawl_delay_ms": crawl_delays[i % len(crawl_delays)],
-                    "set_cookie": None,
-                }
-            )
-    images = spark.createDataFrame(pd.DataFrame(img_rows), CORPUS_SCHEMA)
+    # --- image rows: real encoded payloads, generated DISTRIBUTED
+    # (mapInPandas over a range — the generator itself must scale;
+    # determinism comes from crc32-seeded make_image, not process
+    # state) ---
+    n_images = n_hosts * images_per_host
+    ndelays = len(crawl_delays)
+    delay_arr = list(crawl_delays)
+
+    def _gen_images(batches):
+        for pdf in batches:
+            rows = []
+            for gid in pdf["id"].values:
+                i, k = int(gid) // images_per_host, int(gid) % images_per_host
+                iid = image_id_of(i, k)
+                px = make_image(iid, 32 + 8 * (k % 4), 32 + 8 * (i % 3), seed)
+                enc = png_encode if image_fmt == "png" else qimg_encode
+                rows.append(
+                    {
+                        "url": image_url(i, k),
+                        "host": host_name(i),
+                        "status": 200,
+                        "content_type": f"image/{image_fmt}",
+                        "body": enc(px),
+                        "links": [],
+                        "caption": caption_of(i, k),
+                        "crawl_delay_ms": delay_arr[i % ndelays],
+                        "set_cookie": None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    parallelism = max(spark.sparkContext.defaultParallelism, 1)
+    images = spark.range(n_images).repartition(
+        min(parallelism, max(n_images // 32, 1))
+    ).mapInPandas(_gen_images, schema=CORPUS_SCHEMA)
     return page_rows.unionByName(images)
 
 

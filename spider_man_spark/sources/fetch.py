@@ -100,17 +100,25 @@ def http_fetch(
     scheduled: DataFrame,
     timeout_s: float = 10.0,
     pool_size: int = 32,
+    proxy: str | None = None,
 ) -> DataFrame:
     """Real HTTP fetch via mapInPandas (requires urllib3; unavailable
-    networks surface as status 0 rows, never exceptions)."""
+    networks surface as status 0 rows, never exceptions).  ``proxy``
+    mirrors the reference's proxy conn_opts (finch.ex:74-112)."""
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         try:
             import urllib3
 
-            pool = urllib3.PoolManager(
-                maxsize=pool_size, timeout=urllib3.Timeout(total=timeout_s)
-            )
+            if proxy:
+                pool = urllib3.ProxyManager(
+                    proxy, maxsize=pool_size,
+                    timeout=urllib3.Timeout(total=timeout_s),
+                )
+            else:
+                pool = urllib3.PoolManager(
+                    maxsize=pool_size, timeout=urllib3.Timeout(total=timeout_s)
+                )
 
             def transport(url, options):
                 method = (options or {}).get("method", "get").upper()

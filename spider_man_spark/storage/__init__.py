@@ -15,6 +15,7 @@ from __future__ import annotations
 from spider_man_spark.storage.sinks import (
     CsvStorage,
     JsonLinesStorage,
+    KeyedJsonStorage,
     LogStorage,
     MultiStorage,
     TableStorage,
@@ -24,6 +25,7 @@ from spider_man_spark.storage.sinks import (
 __all__ = [
     "CsvStorage",
     "JsonLinesStorage",
+    "KeyedJsonStorage",
     "LogStorage",
     "MultiStorage",
     "TableStorage",

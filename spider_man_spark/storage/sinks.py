@@ -113,6 +113,28 @@ class TableStorage:
         )
 
 
+class KeyedJsonStorage:
+    """K7 Pipeline.JsonEncode2File analogue (json_encode2file.ex:22-32):
+    one JSON object per item key.  Spark-native form: a parquet/json
+    write partitioned by key prefix (writing one literal file per key
+    is an anti-pattern at crawl scale; the 2-char key-hash prefix dirs
+    keep file counts bounded while preserving key-addressability)."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def store(self, items: DataFrame, epoch: int) -> str:
+        out = f"{self.path}/e_{epoch:05d}"
+        df = items.select(
+            F.substring(F.md5(F.col("image_id")), 1, 2).alias("kp"),
+            F.to_json(
+                F.struct(*[c for c in items.columns if c != "bytes"])
+            ).alias("value"),
+        )
+        df.write.mode("overwrite").partitionBy("kp").text(out)
+        return out
+
+
 class LogStorage:
     """K4: debug sink (storage/log.ex:18-22)."""
 

@@ -1,0 +1,206 @@
+"""Engine extras: pre/post pipelines in the epoch, user sinks wired,
+dynamic fetch options, bloom-enabled crawl equivalence, registry,
+in-UDF fetch retry, streaming views."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from spider_man_spark import registry
+from spider_man_spark.config import CrawlConfig
+from spider_man_spark.operators.pipeline import skip_where
+from spider_man_spark.plans.job import CrawlJob
+from spider_man_spark.sources.corpus import make_corpus
+from spider_man_spark.sources.fetch import fetch_with_retry
+from spider_man_spark.storage import JsonLinesStorage
+from spider_man_spark.streaming.live import (
+    stream_metrics,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return make_corpus(
+        spark, n_hosts=2, pages_per_host=8, out_degree=2, images_per_host=2,
+        hot_hosts=0,
+    ).cache()
+
+
+def test_pre_pipeline_skips_rows(spark, tmp_path, corpus):
+    """A user pre-pipeline marking rows :skiped drops them from the
+    fetch (DuplicateFilter-style short-circuit)."""
+    cfg = CrawlConfig(
+        workdir=str(tmp_path / "wd"),
+        tokens_per_epoch=50,
+        pipelines=(
+            lambda df: skip_where(df, F.col("url").endswith("/p/1"), "blocked"),
+        ),
+    )
+    job = CrawlJob(spark, cfg, corpus=corpus)
+    job.insert_requests([f"http://h0.test/p/{i}" for i in range(4)])
+    r = job.step()
+    assert r.scheduled == 3  # p/1 skipped pre-fetch
+
+
+def test_user_sink_wired_into_epochs(spark, tmp_path, corpus):
+    sink = JsonLinesStorage(str(tmp_path / "out"), single_file=True)
+    cfg = CrawlConfig(
+        workdir=str(tmp_path / "wd"), tokens_per_epoch=50, storage=sink,
+        max_epochs=12,
+    )
+    job = CrawlJob(spark, cfg, corpus=corpus)
+    job.insert_requests(["http://h0.test/p/0", "http://h1.test/p/0"])
+    job.run_until_zero()
+    items = job.items().count()
+    assert items == 4  # 2 hosts x 2 images
+    import glob
+
+    lines = []
+    for p in glob.glob(str(tmp_path / "out" / "*.jsonl")):
+        lines += open(p).read().splitlines()
+    assert len(lines) == items
+    assert all("caption" in json.loads(x) for x in lines)
+
+
+def test_switch_fetch_options_roundtrip(spark, tmp_path, corpus):
+    job = CrawlJob(
+        spark, CrawlConfig(workdir=str(tmp_path / "wd")), corpus=corpus
+    )
+    job.switch_fetch_options(proxy="http://proxy:8080", pool_size=16)
+    # a fresh job on the same workdir picks the config up next epoch
+    job2 = CrawlJob.load(spark, str(tmp_path / "wd"), corpus=corpus)
+    job2._reload_fetch_options(1)
+    assert job2.fetch_options == {"proxy": "http://proxy:8080", "pool_size": 16}
+
+
+def test_bloom_enabled_crawl_equals_exact(spark, tmp_path, corpus):
+    """The Bloom pre-filter layer must not change crawl results
+    (FP-free by exact backstop)."""
+
+    def run(path, bloom):
+        job = CrawlJob(
+            spark,
+            CrawlConfig(
+                workdir=str(path), tokens_per_epoch=50, max_epochs=12,
+                bloom_enabled=bloom, bloom_shards=16,
+            ),
+            corpus=corpus,
+        )
+        job.insert_requests(["http://h0.test/p/0"])
+        job.run_until_zero()
+        return sorted(
+            (r.epoch, r.url_key)
+            for r in job.store.read_deltas("seen", 10**6).collect()
+        )
+
+    assert run(tmp_path / "exact", False) == run(tmp_path / "bloom", True)
+
+
+def test_registry_start_stop(spark, tmp_path, corpus):
+    j1 = registry.start(spark, "jobA", str(tmp_path), corpus=corpus)
+    j2 = registry.start(spark, "jobB", str(tmp_path), corpus=corpus)
+    assert registry.start(spark, "jobA", str(tmp_path)) is j1
+    assert registry.list_jobs() == ["jobA", "jobB"]
+    assert registry.get("jobA") is j1
+    assert registry.stop("jobA") is True
+    assert registry.stop("jobA") is False
+    assert registry.list_jobs() == ["jobB"]
+    registry.stop("jobB")
+    assert j2.cfg.workdir.endswith("jobB")
+
+
+def test_fetch_with_retry_backoff_and_statuses():
+    """Reference retry middleware: 500ms -> x2 -> cap 4000ms, 3 tries,
+    retry on 400/500/transport error (requester.ex:64-76)."""
+    calls, sleeps = [], []
+
+    def flaky(url, options):
+        calls.append(url)
+        if len(calls) < 3:
+            return (500, None, None, {})
+        return (200, "text/html", b"ok", {})
+
+    status, ct, body, headers, attempts = fetch_with_retry(
+        flaky, "http://x.io", {}, sleep=sleeps.append
+    )
+    assert (status, attempts) == (200, 3)
+    assert sleeps == [0.5, 1.0]
+
+    def always_raise(url, options):
+        raise ConnectionError("down")
+
+    status, *_, attempts = fetch_with_retry(
+        always_raise, "http://x.io", {}, sleep=sleeps.append
+    )
+    assert status == 0 and attempts == 4  # initial + 3 retries
+    assert sleeps[-3:] == [0.5, 1.0, 2.0]
+
+    def not_retryable(url, options):
+        return (404, None, None, {})
+
+    status, *_, attempts = fetch_with_retry(not_retryable, "http://x.io", {})
+    assert (status, attempts) == (404, 1)
+
+
+def test_stream_metrics_rollup(spark, tmp_path, corpus):
+    """Structured Streaming tail of the metrics dirs (availableNow)."""
+    job = CrawlJob(
+        spark,
+        CrawlConfig(workdir=str(tmp_path / "wd"), tokens_per_epoch=50,
+                    max_epochs=12),
+        corpus=corpus,
+    )
+    job.insert_requests(["http://h0.test/p/0"])
+    job.run_until_zero()
+    q = (
+        stream_metrics(spark, str(tmp_path / "wd"))
+        .writeStream.format("memory")
+        .queryName("m_rollup")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {r.component: r for r in spark.table("m_rollup").collect()}
+    batch = {c: s for c, s in job.stats().items() if isinstance(s, dict)}
+    assert got.keys() == batch.keys()
+    for c, s in batch.items():
+        assert got[c].total == s["total"]
+        assert got[c].success == s["success"]
+
+
+def test_windowed_event_counts_batch_and_stream_agree(spark, tmp_path):
+    rows = [
+        (f"2024-01-01 0{h}:{m:02d}:00", "click")
+        for h in range(3) for m in (5, 25, 45)
+    ] + [("2024-01-01 01:15:00", "view")]
+    df = spark.createDataFrame(rows, "ts_s string, event_type string").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "event_type"
+    )
+    src = str(tmp_path / "ev")
+    df.write.mode("overwrite").parquet(src)
+    batch = {
+        (str(r.win.start), r.event_type): r.n
+        for r in windowed_event_counts(df).collect()
+    }
+    stream_df = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        windowed_event_counts(stream_df)
+        .writeStream.format("memory")
+        .queryName("winev")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (str(r.win.start), r.event_type): r.n
+        for r in spark.table("winev").collect()
+    }
+    assert got == batch
+    assert batch[("2024-01-01 01:00:00", "click")] == 3

@@ -206,3 +206,21 @@ def test_anti_join_seen_basic(spark):
     assert [r.url_key for r in anti_join_seen(cand, seen).collect()] == [
         "http://a.io/2"
     ]
+
+
+def test_flag_roundtrip_through_fetch(spark):
+    """common_spider_test.exs:133-159 'flag transmit': the request flag
+    reaches the response untouched (downloader.ex:35)."""
+    from spider_man_spark.sources.fetch import stub_fetch
+    from spider_man_spark.schemas import CORPUS_SCHEMA
+
+    sched = _frontier(spark, ["http://a.io/x"], flag="my-flag")
+    corpus = spark.createDataFrame(
+        [("http://a.io/x", "a.io", 200, "text/html", bytearray(b"<html/>"),
+          [], None, 0, None)],
+        CORPUS_SCHEMA,
+    )
+    out = stub_fetch(sched, corpus).collect()
+    assert len(out) == 1
+    assert out[0].flag == "my-flag"
+    assert out[0].status == 200

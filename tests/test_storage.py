@@ -86,3 +86,32 @@ def test_resolve_storage_forms(tmp_path):
     assert isinstance(multi, MultiStorage) and len(multi.sinks) == 2
     with pytest.raises(ValueError):
         resolve_storage("bogus", wd)
+
+
+def test_keyed_json_storage(spark, tmp_path, items):
+    """K7 JsonEncode2File analogue: key-addressable JSON objects,
+    bounded dir fan-out via 2-char key-hash prefix."""
+    import glob
+    import json as _json
+
+    from spider_man_spark.storage import KeyedJsonStorage
+
+    sink = KeyedJsonStorage(str(tmp_path / "kj"))
+    out = sink.store(items, 0)
+    files = glob.glob(out + "/kp=*/*.txt")
+    assert files
+    vals = []
+    for f in files:
+        vals += [_json.loads(x) for x in open(f).read().splitlines()]
+    assert sorted(v["image_id"] for v in vals) == ["1", "2", "3"]
+
+
+def test_json_encode_stage(spark, items):
+    """P4 JsonEncode pipeline stage."""
+    import json as _json
+
+    from spider_man_spark.operators.pipeline import json_encode_stage, run_pipeline
+
+    out = run_pipeline(items, [json_encode_stage(["image_id", "caption"])])
+    row = out.filter("image_id = '2'").first()
+    assert _json.loads(row.json) == {"image_id": "2", "caption": "cap-2"}
