@@ -107,6 +107,9 @@ class CrawlConfig:
     # Max URLs scheduled per epoch across all hosts (GenStage demand
     # analogue — bounds one epoch's work; 0 = unbounded).
     max_per_epoch: int = 0
+    # Compact the seen-delta dirs every N epochs (0 = never) — keeps
+    # long crawls' per-epoch anti-join reads O(1) dirs.
+    compact_every: int = 16
     # Termination (run_until_zero double-check, lib/spider_man.ex:204-211).
     zero_checks: int = 2
     max_epochs: int = 1000

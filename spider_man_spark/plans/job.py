@@ -200,6 +200,8 @@ class CrawlJob:
             sink=self.sink,
         )
         self.store.commit(epoch=epoch, job_name=self.cfg.job_name)
+        if self.cfg.compact_every and epoch % self.cfg.compact_every == 0:
+            self.store.compact("seen", epoch)
         return res
 
     def switch_fetch_options(self, **opts: Any) -> None:

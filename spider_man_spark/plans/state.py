@@ -119,6 +119,26 @@ class StateStore:
         paths = [os.path.join(self.workdir, kind, _edir(e)) for e in eps]
         return self.spark.read.parquet(*paths)
 
+    def compact(self, kind: str, epoch: int) -> int:
+        """Merge all delta dirs <= epoch into one dir at ``epoch`` and
+        drop the older dirs (Iceberg snapshot-expiration analogue:
+        trades per-epoch time travel below ``epoch`` for O(1) dirs).
+        Returns the number of dirs compacted away."""
+        eps = self._epochs(kind, epoch)
+        if len(eps) <= 1:
+            return 0
+        merged = self.read_deltas(kind, epoch)
+        self.rewrite(kind, merged, epoch)
+        removed = 0
+        for e in eps:
+            if e != epoch:
+                shutil.rmtree(
+                    os.path.join(self.workdir, kind, _edir(e)),
+                    ignore_errors=True,
+                )
+                removed += 1
+        return removed
+
     def prune_beyond(self, epoch: int) -> None:
         """Drop uncommitted partial-epoch dirs (crash cleanup)."""
         for kind in SNAPSHOT_KINDS | DELTA_KINDS:

@@ -204,3 +204,69 @@ def test_windowed_event_counts_batch_and_stream_agree(spark, tmp_path):
     }
     assert got == batch
     assert batch[("2024-01-01 01:00:00", "click")] == 3
+
+
+def test_seen_compaction_preserves_crawl(spark, tmp_path, corpus):
+    """Compacting seen deltas must not change crawl results, and old
+    delta dirs disappear."""
+    import os
+
+    def run(path, every):
+        job = CrawlJob(
+            spark,
+            CrawlConfig(workdir=str(path), tokens_per_epoch=50,
+                        max_epochs=12, compact_every=every),
+            corpus=corpus,
+        )
+        job.insert_requests(["http://h0.test/p/0"])
+        job.run_until_zero()
+        seen = sorted(
+            r.url_key for r in job.store.read_deltas("seen", 10**6).collect()
+        )
+        dirs = sorted(os.listdir(os.path.join(str(path), "seen")))
+        return seen, dirs
+
+    seen_a, _ = run(tmp_path / "nc", 0)
+    seen_b, dirs_b = run(tmp_path / "c2", 2)
+    assert seen_a == seen_b
+    # with compact_every=2 there are never more than ~2 live dirs
+    assert len(dirs_b) <= 3
+
+
+def test_volume_10k_seeds(spark, tmp_path):
+    """Scaled-down analogue of the reference's :long_time volume test
+    (test/spider_test.exs:131-186): a 10,000-seed frontier drains
+    completely through schedule->fetch->parse with zero loss."""
+    from pyspark.sql import functions as F
+
+    c = make_corpus(spark, n_hosts=10, pages_per_host=1000, out_degree=1,
+                    images_per_host=1, hot_hosts=0)
+    job = CrawlJob(
+        spark,
+        CrawlConfig(workdir=str(tmp_path / "wd"), tokens_per_epoch=4000,
+                    max_epochs=8, dedup=True),
+        corpus=c,
+    )
+    seeds = spark.range(10_000).select(
+        F.format_string(
+            "http://h%d.test/p/%d",
+            (F.col("id") % 10).cast("int"),
+            (F.col("id") / 10).cast("int"),
+        ).alias("url")
+    )
+    assert job.insert_requests_df(seeds) == 10_000
+    total = 0
+    for _ in range(3):
+        total += job.step().scheduled
+    # every seed fetched once + bounded retries of the 500/404 pages
+    # (~500 of 10k have failing statuses, retried up to max_retries)
+    assert 10_000 <= total <= 12_000
+    distinct = (
+        job.store.read_deltas("seen", 10**6)
+        .filter(F.col("url_key").contains("/p/"))
+        .select("url_key").distinct().count()
+    )
+    assert distinct == 10_000  # all page URLs admitted exactly once
+    m = job.stats()
+    assert m["downloader"]["total"] == total
+    assert m["downloader"]["success"] > 9_000  # minus 500/404 pages
