@@ -156,13 +156,35 @@ def run_epoch(
         scheduled = scheduled.withColumn(
             "url", splash_rewrite(F.col("url"), cfg.splash_url)
         )
+    pre_retry = pre_dead = piped = None
     if cfg.pipelines:
         # P1/P8: user pre-pipelines over the scheduled batch; skiped
-        # rows are dropped (no retry), errored rows dead-letter
+        # rows drop without retry (producer/ets.ex:150), errored rows
+        # follow the ack path: retries-1 back to the frontier or the
+        # dead-letter table (pipeline.ex error -> Message.failed)
         from spider_man_spark.operators.pipeline import run_pipeline, split_statuses
 
-        piped = run_pipeline(scheduled, cfg.pipelines)
-        scheduled, _skipped, _errored = split_statuses(piped)
+        piped = run_pipeline(scheduled, cfg.pipelines).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        scheduled, _skipped, errored = split_statuses(piped)
+        pre_retry = errored.filter(F.col("retries") > 0).select(
+            "url_key", "url", "host",
+            F.lit(None).cast("int").alias("host_salt"),
+            F.lit(None).cast("long").alias("url_hash"),
+            "depth", "priority",
+            (F.col("retries") - 1).alias("retries"),
+            "flag", "options",
+        )
+        pre_dead = errored.filter(F.col("retries") <= 0).select(
+            F.lit("downloader").alias("component"),
+            "url_key", "url",
+            F.lit(None).cast("string").alias("payload"),
+            F.col("_reason").alias("reason"),
+            (F.col("retries") - 1).alias("retries"),
+            "depth", "priority", "flag", "options",
+            F.lit(epoch).cast("int").alias("epoch"),
+        )
     # scheduled count comes from an Observation during the first job
     # that materializes the persist — no standalone count action.
     # (Not attached on the suspended path: its statically-empty plan
@@ -279,6 +301,10 @@ def run_epoch(
         parts.append(
             canonicalize_frontier(retry_rows, cfg.base_url, cfg.n_host_shards)
         )
+    if pre_retry is not None:
+        parts.append(
+            canonicalize_frontier(pre_retry, cfg.base_url, cfg.n_host_shards)
+        )
     if admitted is not None:
         parts.append(admitted.select(*[f.name for f in FRONTIER_SCHEMA.fields]))
     frontier_next = parts[0]
@@ -313,9 +339,21 @@ def run_epoch(
         store.write("seen", seen_rows, epoch)
         res.new_requests = _obs_get(obs_seen, lambda: admitted.count())
         admitted.unpersist()
+    dead_parts = []
     if dead is not None and res.dead:
-        store.write("failed", dead.select(
-            *[f.name for f in FAILED_SCHEMA.fields]), epoch)
+        dead_parts.append(dead.select(*[f.name for f in FAILED_SCHEMA.fields]))
+    if pre_dead is not None:
+        n_pre_dead = pre_dead.count()  # piped is persisted: cheap
+        if n_pre_dead:
+            res.dead += n_pre_dead
+            dead_parts.append(
+                pre_dead.select(*[f.name for f in FAILED_SCHEMA.fields])
+            )
+    if dead_parts:
+        all_dead = dead_parts[0]
+        for p in dead_parts[1:]:
+            all_dead = all_dead.unionByName(p)
+        store.write("failed", all_dead, epoch)
     if items_all is not None and write_items:
         t1 = time.monotonic()
         items_all = items_all.persist(StorageLevel.MEMORY_AND_DISK)
@@ -384,6 +422,8 @@ def run_epoch(
     res.durations_ms["epoch"] = total_ms
 
     scheduled.unpersist()
+    if piped is not None:
+        piped.unpersist()
     if fetched is not None:
         fetched.unpersist()
     return res

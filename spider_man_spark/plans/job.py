@@ -166,8 +166,21 @@ class CrawlJob:
         return "suspended" if self.suspended == set(COMPONENTS) else "running"
 
     # -- epoch loop --
+    _last_frontier_size: int | None = None
+
+    def _tune_partitions(self) -> None:
+        """Size shuffle partitions to the frontier: window exchanges
+        can't be AQE-coalesced (coalescing would break their hash
+        requirement), so small epochs would otherwise pay full-width
+        task overhead on every rank/dedup stage."""
+        if self._last_frontier_size is None:
+            return
+        target = max(8, min(256, self._last_frontier_size // 50_000))
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(target))
+
     def step(self) -> EpochResult:
         """Run exactly one epoch (commit epoch = last+1)."""
+        self._tune_partitions()
         epoch = self.store.last_epoch() + 1
         if self.cfg.bloom_enabled:
             self._refresh_blooms(epoch - 1)
@@ -202,6 +215,7 @@ class CrawlJob:
         self.store.commit(epoch=epoch, job_name=self.cfg.job_name)
         if self.cfg.compact_every and epoch % self.cfg.compact_every == 0:
             self.store.compact("seen", epoch)
+        self._last_frontier_size = res.frontier_size
         return res
 
     def switch_fetch_options(self, **opts: Any) -> None:

@@ -270,3 +270,33 @@ def test_volume_10k_seeds(spark, tmp_path):
     m = job.stats()
     assert m["downloader"]["total"] == total
     assert m["downloader"]["success"] > 9_000  # minus 500/404 pages
+
+
+def test_pre_pipeline_error_follows_ack_path(spark, tmp_path, corpus):
+    """Errored pipeline rows retry with retries-1 and dead-letter on
+    exhaustion (pipeline error -> Message.failed -> ack), mirroring
+    fetch failures."""
+    from spider_man_spark.operators.pipeline import fail_where
+
+    cfg = CrawlConfig(
+        workdir=str(tmp_path / "wd"),
+        tokens_per_epoch=50,
+        max_retries=1,
+        pipelines=(
+            lambda df: fail_where(df, F.col("url").endswith("/p/2"), "poison"),
+        ),
+    )
+    job = CrawlJob(spark, cfg, corpus=corpus)
+    job.insert_requests(
+        [f"http://h0.test/p/{i}" for i in range(4)], retries=1
+    )
+    r1 = job.step()
+    assert r1.scheduled == 3  # p/2 errored out of the batch
+    assert r1.dead == 0  # still has a retry left
+    r2 = job.step()  # p/2 retried (retries 0 now), errors again -> dead
+    assert r2.dead == 1
+    failed = job.failed().collect()
+    assert any(
+        row.url_key.endswith("/p/2") and row.reason == "poison"
+        for row in failed
+    )
