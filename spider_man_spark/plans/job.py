@@ -175,6 +175,10 @@ class CrawlJob:
         task overhead on every rank/dedup stage."""
         if self._last_frontier_size is None:
             return
+        # ~50k frontier rows per partition: A/B-measured optimum on
+        # this workload — widening to core count made BOTH cluster
+        # sizes slower (per-task fixed cost dominates over parallelism
+        # for these string-heavy, sub-GB shuffles)
         target = max(8, min(256, self._last_frontier_size // 50_000))
         self.spark.conf.set("spark.sql.shuffle.partitions", str(target))
 
