@@ -224,3 +224,45 @@ def test_flag_roundtrip_through_fetch(spark):
     assert len(out) == 1
     assert out[0].flag == "my-flag"
     assert out[0].status == 200
+
+
+def test_robots_disallow_and_global_cap(spark):
+    """Disallow-prefix filtering + the max_per_epoch global cap (the
+    GenStage demand analogue) in schedule_epoch."""
+    from spider_man_spark.operators.politeness import schedule_epoch
+
+    urls = [f"http://a.io/keep/{i}" for i in range(6)] + [
+        f"http://a.io/private/{i}" for i in range(4)
+    ]
+    frontier = _frontier(spark, urls)
+    robots = spark.createDataFrame(
+        [("a.io", 0, 100, 0, ["/private"], 0)],
+        "host string, crawl_delay_ms int, tokens_per_epoch int, "
+        "next_allowed_ts long, disallow_prefixes array<string>, epoch int",
+    )
+    sched, deferred = schedule_epoch(frontier, robots, 1000)
+    got = sorted(r.url_key for r in sched.collect())
+    assert len(got) == 6
+    assert all("/keep/" in u for u in got)
+    # disallowed rows stay deferred, not lost
+    assert deferred.count() == 4
+    # global cap: deterministic top-3 by (priority, depth, url_key)
+    sched2, deferred2 = schedule_epoch(frontier, robots, 1000, max_per_epoch=3)
+    got2 = [r.url_key for r in sched2.orderBy("url_key").collect()]
+    assert got2 == sorted(got)[:3]
+    assert deferred2.count() == 7
+
+
+def test_crawl_delay_window_blocks(spark):
+    """next_allowed_ts in the future defers the whole host."""
+    from spider_man_spark.operators.politeness import schedule_epoch
+
+    frontier = _frontier(spark, ["http://a.io/1", "http://b.io/1"])
+    robots = spark.createDataFrame(
+        [("a.io", 500, 10, 5000, None, 0), ("b.io", 0, 10, 0, None, 0)],
+        "host string, crawl_delay_ms int, tokens_per_epoch int, "
+        "next_allowed_ts long, disallow_prefixes array<string>, epoch int",
+    )
+    sched, deferred = schedule_epoch(frontier, robots, 1000)
+    assert [r.host for r in sched.collect()] == ["b.io"]
+    assert [r.host for r in deferred.collect()] == ["a.io"]
