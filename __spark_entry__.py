@@ -327,8 +327,8 @@ def q_simhash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Char-5-gram Jaccard pairs (exact, explode+join) — rows-only
-    check (n-gram generation isn't practical in the oracle SQL)."""
+    """Char-5-gram Jaccard pairs (exact, explode+join) vs a DuckDB
+    oracle that derives the same distinct grams via range+substr."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
     copies = docs.select(
         (F.col("doc_id") + 1000).alias("doc_id"), "text", "lang", "source",
@@ -411,7 +411,10 @@ def q_windowed_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_metrics_tps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stats-fold analogue: success/(duration_ms/1000) per component
-    (= event_type), duration from value."""
+    (= event_type), duration from value.  tps is emitted as micro-tps
+    BIGINT (success*1e9 div duration_ms): exact integer arithmetic on
+    both sides — a double tps is a bit-level rounding coin-flip between
+    engines on inexact quotients."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
@@ -423,8 +426,8 @@ def q_metrics_tps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("value") * 1000).cast("long")).alias("duration_ms"),
         )
         .withColumn(
-            "tps",
-            F.round(F.col("success") / (F.col("duration_ms") / 1000.0), 6),
+            "tps_micro",
+            F.expr("success * CAST(1000000000 AS BIGINT) div duration_ms"),
         )
         .orderBy("event_type")
     )
@@ -657,6 +660,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
             ORDER BY id_a, id_b
         """,
+        "ngram_jaccard": f"""
+            WITH docs2 AS (
+                SELECT doc_id, {_NORM} AS t FROM (
+                    SELECT doc_id, text FROM documents WHERE doc_id < 40
+                    UNION ALL {copies_docs.format(n=40)}
+                )
+            ), grams AS (
+                SELECT doc_id,
+                       list_distinct(CASE WHEN length(t) >= 5
+                           THEN list_transform(range(1, length(t) - 3),
+                                               i -> substr(t, CAST(i AS INTEGER), 5))
+                           ELSE [t] END) AS gs
+                FROM docs2
+            )
+            SELECT id_a, id_b, jaccard FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       round(len(list_intersect(a.gs, b.gs))
+                             / CAST(len(a.gs) + len(b.gs)
+                                    - len(list_intersect(a.gs, b.gs))
+                                    AS DOUBLE), 6) AS jaccard
+                FROM grams a, grams b
+                WHERE a.doc_id < b.doc_id
+            ) WHERE jaccard >= 0.99
+            ORDER BY id_a, id_b
+        """,
         "embedding_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,
@@ -696,7 +724,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "metrics_tps": """
             SELECT event_type, total, success, duration_ms,
-                   round(success / (duration_ms / 1000.0), 6) AS tps
+                   CAST((success * CAST(1000000000 AS BIGINT)) // duration_ms
+                        AS BIGINT) AS tps_micro
             FROM (
                 SELECT event_type,
                        count(*) AS total,

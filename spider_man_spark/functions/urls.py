@@ -136,6 +136,18 @@ def splash_rewrite(url: Column, splash_url: str, extra_query: dict[str, str] | N
     return F.concat(F.lit(splash_url), F.lit(sep), qs)
 
 
+def splash_unwrap(url: Column, splash_url: str) -> Column:
+    """Inverse of :func:`splash_rewrite`: recover the original URL from
+    a splash-wrapped one (passthrough otherwise).  Used when persisting
+    retried requests back into the frontier — the reference stores the
+    *request* (pre-middleware) in its source table, so a retried row
+    must not be splash-wrapped a second time next epoch."""
+    q = F.regexp_extract(url, r"[?&]url=([^&]*)", 1)
+    return F.when(
+        url.startswith(splash_url) & (q != F.lit("")), F.url_decode(q)
+    ).otherwise(url)
+
+
 def ua_select(url_key: Column, epoch: int, user_agents: tuple[str, ...]) -> Column:
     """Middleware.UserAgent analogue (user_agent.ex:26-32) — the
     reference picks a *random* UA per request; the rebuild picks a

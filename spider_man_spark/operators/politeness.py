@@ -54,16 +54,27 @@ def join_robots(frontier: DataFrame, robots: DataFrame | None) -> DataFrame:
     )
 
 
-def robots_filter(df: DataFrame, epoch_ts: int) -> tuple[DataFrame, DataFrame]:
-    """(eligible, blocked): crawl-delay window not yet open or a
-    disallow prefix match blocks a row this epoch."""
+def robots_filter(
+    df: DataFrame, epoch_ts: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(eligible, delayed, disallowed).
+
+    ``delayed`` rows (crawl-delay window not yet open) go back to the
+    frontier — time unblocks them.  ``disallowed`` rows can *never*
+    become eligible: they must leave the frontier (dead-letter), or a
+    frontier holding only disallowed URLs keeps ``frontier_size > 0``
+    forever and run_until_zero spins through max_epochs no-op epochs."""
     path = F.regexp_extract(F.col("url"), r"^[a-z]+://[^/?#]*([^?#]*)", 1)
     disallowed = F.when(
         F.col("disallow_prefixes").isNotNull(),
         F.exists("disallow_prefixes", lambda p: path.startswith(p)),
     ).otherwise(F.lit(False))
     too_early = F.col("next_allowed_ts") > F.lit(epoch_ts)
-    return df.filter(~disallowed & ~too_early), df.filter(disallowed | too_early)
+    return (
+        df.filter(~disallowed & ~too_early),
+        df.filter(~disallowed & too_early),
+        df.filter(disallowed),
+    )
 
 
 def rank_per_host(
@@ -103,6 +114,36 @@ def rank_split_per_host(
     return picked, losers1.unionByName(losers2)
 
 
+def global_cap(
+    picked: DataFrame, max_per_epoch: int, cap_salts: int = 16
+) -> tuple[DataFrame, DataFrame]:
+    """(capped, over): deterministic global top-``max_per_epoch`` by
+    (priority, depth, url_key) across hosts — the GenStage demand
+    analogue — WITHOUT a single-partition global Window.
+
+    Phase 1 ranks within ``cap_salts`` hash groups and keeps at most
+    ``max_per_epoch`` per group (provably a superset of the true
+    top-k: a row in the global top-k is in the top-k of its group).
+    Phase 2 takes the exact top-k of the <= salts x k survivors via
+    sort+limit — Catalyst plans TakeOrderedAndProject (per-partition
+    bounded heaps, no SinglePartition exchange)."""
+    salted = picked.withColumn(
+        "__gsalt", F.pmod(F.xxhash64("url_key"), F.lit(cap_salts))
+    )
+    w = Window.partitionBy("__gsalt").orderBy(*order_cols())
+    ranked = salted.withColumn("__gr", F.row_number().over(w))
+    pre_losers = ranked.filter(F.col("__gr") > max_per_epoch).drop(
+        "__gsalt", "__gr"
+    )
+    survivors = ranked.filter(F.col("__gr") <= max_per_epoch).drop(
+        "__gsalt", "__gr"
+    )
+    capped = survivors.orderBy(*order_cols()).limit(max_per_epoch)
+    # survivors is small (<= salts x k): the anti-join shuffles only it
+    over = survivors.join(capped.select("url_key"), "url_key", "left_anti")
+    return capped, pre_losers.unionByName(over)
+
+
 def schedule_epoch(
     frontier: DataFrame,
     robots: DataFrame | None,
@@ -111,37 +152,37 @@ def schedule_epoch(
     tokens_default: int = DEFAULT_TOKENS_PER_EPOCH,
     rank_salts: int = 8,
     max_per_epoch: int = 0,
-) -> tuple[DataFrame, DataFrame]:
-    """(scheduled, deferred) for one epoch.
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(scheduled, deferred, disallowed) for one epoch.
 
     scheduled: per-host top-``tokens`` eligible rows in contract order,
-    optionally globally capped at ``max_per_epoch`` (the GenStage
-    demand analogue — deterministic: ordered by
-    (priority, depth, url_key) across hosts).
-    deferred: everything else — stays in the frontier for the next
-    epoch (the reference leaves un-pulled rows in the ETS table).
+    optionally globally capped at ``max_per_epoch`` (deterministic:
+    ordered by (priority, depth, url_key) across hosts).
+    deferred: rank losers ∪ crawl-delay-blocked rows — stay in the
+    frontier for the next epoch (the reference leaves un-pulled rows in
+    the ETS table).
+    disallowed: robots-disallowed rows — permanently ineligible; the
+    caller dead-letters them (reason 'disallowed') so the frontier can
+    drain.
     """
     politeness_cols = [
         "crawl_delay_ms", "tokens_per_epoch", "next_allowed_ts",
         "disallow_prefixes",
     ]
     enriched = join_robots(frontier, robots)
-    eligible, blocked = robots_filter(enriched, epoch_ts)
+    eligible, delayed, disallowed = robots_filter(enriched, epoch_ts)
     picked, losers = rank_split_per_host(eligible, tokens_default, rank_salts)
     if max_per_epoch > 0:
-        w = Window.orderBy(*order_cols())
-        picked = picked.withColumn("__g", F.row_number().over(w))
-        over_cap = picked.filter(F.col("__g") > max_per_epoch).drop(
-            "__g", "host_rank"
-        )
-        picked = picked.filter(F.col("__g") <= max_per_epoch).drop("__g")
+        picked, over_cap = global_cap(picked.drop("host_rank"), max_per_epoch)
         losers = losers.unionByName(over_cap)
-    scheduled = picked.drop(*politeness_cols, "host_rank")
-    # deferred = rank losers ∪ politeness-blocked rows — derived as side
+        scheduled = picked.drop(*politeness_cols)
+    else:
+        scheduled = picked.drop(*politeness_cols, "host_rank")
+    # deferred = rank losers ∪ delay-blocked rows — derived as side
     # outputs of the same lineage, NOT an anti-join against the full
     # frontier (that join was a second full-frontier shuffle per epoch)
-    deferred = losers.unionByName(blocked).drop(*politeness_cols)
-    return scheduled, deferred
+    deferred = losers.unionByName(delayed).drop(*politeness_cols)
+    return scheduled, deferred, disallowed.drop(*politeness_cols)
 
 
 def advance_robots(

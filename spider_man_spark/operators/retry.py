@@ -10,7 +10,7 @@ table, resets retries to ``max_retries`` and re-inserts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from spider_man_spark.schemas import DEFAULT_REQUEST_RETRIES
@@ -25,14 +25,25 @@ def split_fetch_results(fetched: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def requeue_failures(
-    failures: DataFrame, component: str, epoch: int
+    failures: DataFrame,
+    component: str,
+    epoch: int,
+    reason: Column | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(retry_frontier_rows, dead_letter_rows).
 
     retry rows go back to the frontier with retries-1 (component.ex:
     28-37); exhausted rows become FAILED_SCHEMA dead letters keyed
-    (component, url_key) (producer/ets.ex:154).
+    (component, url_key) (producer/ets.ex:154).  ``reason`` overrides
+    the default status-derived reason (used for pipeline-errored rows
+    that carry a ``_reason`` column — downloader pipeline errors fail
+    the message in the reference too, pipeline.ex:30-38).
     """
+    reason_col = (
+        reason
+        if reason is not None
+        else F.concat(F.lit("status_"), F.col("status"))
+    )
     retry = failures.filter(F.col("retries") > 0).select(
         "url_key",
         "url",
@@ -50,7 +61,7 @@ def requeue_failures(
         "url_key",
         "url",
         F.col("status").cast("string").alias("payload"),
-        F.concat(F.lit("status_"), F.col("status")).alias("reason"),
+        reason_col.alias("reason"),
         (F.col("retries") - 1).alias("retries"),  # ref lands at -1
         "depth",
         "priority",

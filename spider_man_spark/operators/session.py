@@ -10,8 +10,20 @@ one-host special case).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def map_put(options: Column, key: str, value: Column) -> Column:
+    """Set ``options[key] = value``, *replacing* any existing entry.
+
+    Engine-injected keys (h:cookie, h:user-agent) survive on rows that
+    come back through the retry path; a plain ``map_concat`` would then
+    hit Spark's default ``spark.sql.mapKeyDedupPolicy=EXCEPTION``
+    (DUPLICATED_MAP_KEY) on re-injection — strip the key first."""
+    base = F.coalesce(options, F.from_json(F.lit("{}"), "map<string,string>"))
+    cleaned = F.map_filter(base, lambda k, _v: k != F.lit(key))
+    return F.map_concat(cleaned, F.create_map(F.lit(key), value))
 
 
 def harvest_cookies(responses: DataFrame, epoch: int) -> DataFrame:
@@ -62,12 +74,6 @@ def inject_cookie_header(requests: DataFrame, session: DataFrame | None) -> Data
     joined = requests.join(F.broadcast(s), "host", "left")
     opts = F.when(
         F.col("cookies_str").isNotNull(),
-        F.map_concat(
-            F.coalesce(
-                F.col("options"),
-                F.from_json(F.lit("{}"), "map<string,string>"),
-            ),
-            F.create_map(F.lit("h:cookie"), F.col("cookies_str")),
-        ),
+        map_put(F.col("options"), "h:cookie", F.col("cookies_str")),
     ).otherwise(F.col("options"))
     return joined.withColumn("options", opts).drop("cookies_str")

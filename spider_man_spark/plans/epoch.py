@@ -39,6 +39,7 @@ from spider_man_spark.operators.retry import requeue_failures, split_fetch_resul
 from spider_man_spark.operators.session import (
     harvest_cookies,
     inject_cookie_header,
+    map_put,
     merge_sessions,
 )
 from spider_man_spark.sources.fetch import stub_fetch
@@ -62,6 +63,9 @@ class EpochResult:
     items: int = 0
     dead: int = 0
     frontier_size: int = 0
+    # whether the committed robots table carries any disallow rules —
+    # lets the next epoch skip the disallowed-branch bookkeeping
+    has_disallow: bool = True
     durations_ms: dict[str, int] = field(default_factory=dict)
 
     @property
@@ -121,11 +125,15 @@ def run_epoch(
 
     # ---- downloader stage: schedule + fetch ----
     t0 = time.monotonic()
+    disallowed = None
+    # robots carried disallow rules as of the last commit (observed on
+    # the robots write, so a clean crawl pays zero per-epoch cost here)
+    has_disallow = bool(store.manifest().get("has_disallow", True))
     if "downloader" in suspended:
         scheduled = spark.createDataFrame([], FRONTIER_SCHEMA)
         deferred = frontier
     else:
-        scheduled, deferred = schedule_epoch(
+        scheduled, deferred, disallowed = schedule_epoch(
             frontier,
             robots,
             epoch_ts,
@@ -133,6 +141,8 @@ def run_epoch(
             rank_salts=cfg.rank_salts,
             max_per_epoch=cfg.max_per_epoch,
         )
+        if not has_disallow:
+            disallowed = None
     if cfg.cookies:
         scheduled = inject_cookie_header(scheduled, session)
     if cfg.user_agents:
@@ -140,14 +150,10 @@ def run_epoch(
         from spider_man_spark.functions.urls import ua_select
 
         ua = ua_select(F.col("url_key"), epoch, cfg.user_agents)
+        # map_put, not map_concat: retried rows come back with the
+        # previous epoch's injected key still in options
         scheduled = scheduled.withColumn(
-            "options",
-            F.map_concat(
-                F.coalesce(
-                    F.col("options"), F.from_json(F.lit("{}"), "map<string,string>")
-                ),
-                F.create_map(F.lit("h:user-agent"), ua),
-            ),
+            "options", map_put(F.col("options"), "h:user-agent", ua)
         )
     if cfg.splash_url:
         # P6 Splash: rewrite the fetch URL to the JS-rendering endpoint
@@ -197,6 +203,7 @@ def run_epoch(
         obs_sched = Observation()
         scheduled = scheduled.observe(obs_sched, F.count(F.lit(1)).alias("n"))
     scheduled = scheduled.persist(StorageLevel.MEMORY_AND_DISK)
+    post_piped = post_retry = post_dead = None
     if run_fetch:
         if fetcher is not None:
             fetched = fetcher(scheduled)
@@ -205,14 +212,23 @@ def run_epoch(
                 raise ValueError("corpus required for stub fetch")
             fetched = stub_fetch(scheduled, corpus)
         if cfg.post_pipelines:
-            # post-pipelines over %{request, env} (downloader.ex:38-41)
+            # post-pipelines over %{request, env} (downloader.ex:38-41);
+            # errored rows follow the ack path like pre-pipeline errors
+            # (a downloader pipeline error fails the message in the
+            # reference: retries-1 back to the source or dead-letter)
             from spider_man_spark.operators.pipeline import (
+                REASON,
                 run_pipeline,
                 split_statuses,
             )
 
-            fetched, _sk, _er = split_statuses(
-                run_pipeline(fetched, cfg.post_pipelines)
+            post_piped = run_pipeline(fetched, cfg.post_pipelines).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            fetched, _sk, post_err = split_statuses(post_piped)
+            post_retry, post_dead = requeue_failures(
+                post_err.drop("_status"), "downloader", epoch,
+                reason=F.col(REASON),
             )
         # one Observation yields ok/fail/dead counts as a side effect
         # of the first action that materializes the fetched cache — no
@@ -295,16 +311,23 @@ def run_epoch(
     res.durations_ms["item_processor"] = 0
 
     # ---- commit epoch N ----
+    def _requeue_rows(rows: DataFrame) -> DataFrame:
+        # retried rows persist back into the frontier: un-wrap any
+        # splash rewrite first (the reference stores the *request*, so
+        # a retry must not get splash-wrapped a second time next epoch)
+        if cfg.splash_url:
+            from spider_man_spark.functions.urls import splash_unwrap
+
+            rows = rows.withColumn(
+                "url", splash_unwrap(F.col("url"), cfg.splash_url)
+            )
+        return canonicalize_frontier(rows, cfg.base_url, cfg.n_host_shards)
+
     # frontier' = deferred ∪ retries ∪ admitted
     parts = [deferred.select(*[f.name for f in FRONTIER_SCHEMA.fields])]
-    if retry_rows is not None:
-        parts.append(
-            canonicalize_frontier(retry_rows, cfg.base_url, cfg.n_host_shards)
-        )
-    if pre_retry is not None:
-        parts.append(
-            canonicalize_frontier(pre_retry, cfg.base_url, cfg.n_host_shards)
-        )
+    for retry_part in (retry_rows, pre_retry, post_retry):
+        if retry_part is not None:
+            parts.append(_requeue_rows(retry_part))
     if admitted is not None:
         parts.append(admitted.select(*[f.name for f in FRONTIER_SCHEMA.fields]))
     frontier_next = parts[0]
@@ -349,11 +372,36 @@ def run_epoch(
             dead_parts.append(
                 pre_dead.select(*[f.name for f in FAILED_SCHEMA.fields])
             )
+    if post_dead is not None:
+        n_post_dead = post_dead.count()  # post_piped is persisted: cheap
+        if n_post_dead:
+            res.dead += n_post_dead
+            dead_parts.append(
+                post_dead.select(*[f.name for f in FAILED_SCHEMA.fields])
+            )
+    obs_dis = None
+    if disallowed is not None:
+        # permanently-disallowed rows leave the frontier as dead
+        # letters (reason 'disallowed') so run_until_zero can drain
+        disallowed_dead = disallowed.select(
+            F.lit("downloader").alias("component"),
+            "url_key", "url",
+            F.lit(None).cast("string").alias("payload"),
+            F.lit("disallowed").alias("reason"),
+            "retries", "depth", "priority", "flag", "options",
+            F.lit(epoch).cast("int").alias("epoch"),
+        )
+        obs_dis = Observation()
+        dead_parts.append(
+            disallowed_dead.observe(obs_dis, F.count(F.lit(1)).alias("n"))
+        )
     if dead_parts:
         all_dead = dead_parts[0]
         for p in dead_parts[1:]:
             all_dead = all_dead.unionByName(p)
         store.write("failed", all_dead, epoch)
+        if obs_dis is not None:
+            res.dead += _obs_get(obs_dis, lambda: disallowed.count())
     if items_all is not None and write_items:
         t1 = time.monotonic()
         items_all = items_all.persist(StorageLevel.MEMORY_AND_DISK)
@@ -398,7 +446,17 @@ def run_epoch(
     robots_next = advance_robots(
         robots, scheduled, epoch_ts, epoch, cfg.tokens_per_epoch
     )
+    # observe whether any disallow rules exist so the NEXT epoch can
+    # skip the disallowed-branch bookkeeping entirely on clean crawls
+    obs_rob = Observation()
+    robots_next = robots_next.observe(
+        obs_rob,
+        F.count(
+            F.when(F.size(F.coalesce("disallow_prefixes", F.array())) > 0, 1)
+        ).alias("n"),
+    )
     store.write("robots", robots_next, epoch)
+    res.has_disallow = _obs_get(obs_rob, lambda: 1) > 0
     # by now every branch has materialized the scheduled cache
     res.scheduled = (
         _obs_get(obs_sched, lambda: scheduled.count())
@@ -424,6 +482,8 @@ def run_epoch(
     scheduled.unpersist()
     if piped is not None:
         piped.unpersist()
+    if post_piped is not None:
+        post_piped.unpersist()
     if fetched is not None:
         fetched.unpersist()
     return res

@@ -146,8 +146,10 @@ class CrawlJob:
         from spider_man_spark.plans.epoch import _seen_rows
 
         new_seen = _seen_rows(admitted, self.cfg.bloom_shards, epoch)
-        prev_seen = self.store.read_deltas("seen", epoch, SEEN_SCHEMA)
-        # seed-time seen rows merge with the epoch's existing delta
+        # seed-time seen rows merge with THIS epoch's existing delta
+        # only — unioning all deltas <= epoch would duplicate every
+        # older seen row into the current dir on each mid-crawl seed
+        prev_seen = self.store.read_delta_single("seen", epoch, SEEN_SCHEMA)
         self.store.rewrite("seen", prev_seen.unionByName(new_seen), epoch)
         if self.store.last_epoch() < 0:
             self.store.commit(epoch=0, job_name=self.cfg.job_name)
@@ -216,7 +218,11 @@ class CrawlJob:
             bloom_shards=self._bloom_shards,
             sink=self.sink,
         )
-        self.store.commit(epoch=epoch, job_name=self.cfg.job_name)
+        self.store.commit(
+            epoch=epoch,
+            job_name=self.cfg.job_name,
+            has_disallow=res.has_disallow,
+        )
         if self.cfg.compact_every and epoch % self.cfg.compact_every == 0:
             self.store.compact("seen", epoch)
         self._last_frontier_size = res.frontier_size

@@ -119,6 +119,19 @@ class StateStore:
         paths = [os.path.join(self.workdir, kind, _edir(e)) for e in eps]
         return self.spark.read.parquet(*paths)
 
+    def read_delta_single(
+        self, kind: str, epoch: int, schema: StructType | None = None
+    ) -> DataFrame | None:
+        """Read exactly one epoch's delta dir (empty/None if absent) —
+        used by writers that merge into the *current* epoch's delta
+        without re-reading every older delta."""
+        path = os.path.join(self.workdir, kind, _edir(epoch))
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            return self.spark.read.parquet(path)
+        if schema is not None:
+            return self.spark.createDataFrame([], schema)
+        return None
+
     def compact(self, kind: str, epoch: int) -> int:
         """Merge all delta dirs <= epoch into one dir at ``epoch`` and
         drop the older dirs (Iceberg snapshot-expiration analogue:

@@ -237,7 +237,7 @@ def test_cookie_session_harvest(spark, tmp_path, corpus):
     from spider_man_spark.operators.session import inject_cookie_header
 
     frontier = job.frontier()
-    sched, _ = schedule_epoch(frontier, None, 10**9)
+    sched, _, _ = schedule_epoch(frontier, None, 10**9)
     injected = inject_cookie_header(
         sched, job.store.read_snapshot("session", 2)
     )

@@ -240,17 +240,48 @@ def test_robots_disallow_and_global_cap(spark):
         "host string, crawl_delay_ms int, tokens_per_epoch int, "
         "next_allowed_ts long, disallow_prefixes array<string>, epoch int",
     )
-    sched, deferred = schedule_epoch(frontier, robots, 1000)
+    sched, deferred, disallowed = schedule_epoch(frontier, robots, 1000)
     got = sorted(r.url_key for r in sched.collect())
     assert len(got) == 6
     assert all("/keep/" in u for u in got)
-    # disallowed rows stay deferred, not lost
-    assert deferred.count() == 4
+    # permanently-disallowed rows leave via the disallowed side output
+    # (dead-letter), NOT deferred — otherwise the frontier never drains
+    assert deferred.count() == 0
+    assert disallowed.count() == 4
+    assert all("/private/" in r.url_key for r in disallowed.collect())
     # global cap: deterministic top-3 by (priority, depth, url_key)
-    sched2, deferred2 = schedule_epoch(frontier, robots, 1000, max_per_epoch=3)
+    sched2, deferred2, _ = schedule_epoch(frontier, robots, 1000, max_per_epoch=3)
     got2 = [r.url_key for r in sched2.orderBy("url_key").collect()]
     assert got2 == sorted(got)[:3]
-    assert deferred2.count() == 7
+    assert deferred2.count() == 3
+
+
+def test_global_cap_matches_naive_rank_without_single_partition(spark):
+    """The salted two-phase global cap picks exactly the naive global
+    top-k AND its physical plan has no single-partition exchange (the
+    naive Window.orderBy funnels every row through ONE task)."""
+    from spider_man_spark.operators.politeness import global_cap
+
+    urls = [f"http://h{i % 7}.io/p/{i:04d}" for i in range(500)]
+    frontier = _frontier(spark, urls).withColumn(
+        "priority", (F.col("url_hash") % 3).cast("int")
+    ).withColumn("depth", (F.col("url_hash") % 5).cast("int"))
+    k = 37
+    capped, over = global_cap(frontier, k)
+    naive = (
+        frontier.withColumn(
+            "__g", F.row_number().over(Window.orderBy(*order_cols()))
+        )
+        .filter(F.col("__g") <= k)
+        .drop("__g")
+    )
+    got = sorted(r.url_key for r in capped.collect())
+    want = sorted(r.url_key for r in naive.collect())
+    assert got == want
+    assert over.count() == 500 - k
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_crawl_delay_window_blocks(spark):
@@ -263,6 +294,7 @@ def test_crawl_delay_window_blocks(spark):
         "host string, crawl_delay_ms int, tokens_per_epoch int, "
         "next_allowed_ts long, disallow_prefixes array<string>, epoch int",
     )
-    sched, deferred = schedule_epoch(frontier, robots, 1000)
+    sched, deferred, disallowed = schedule_epoch(frontier, robots, 1000)
     assert [r.host for r in sched.collect()] == ["b.io"]
     assert [r.host for r in deferred.collect()] == ["a.io"]
+    assert disallowed.count() == 0

@@ -79,3 +79,46 @@ def test_ua_select_deterministic_and_in_list(spark):
     assert got1 == got2
     assert set(got1) <= set(uas)
     assert len(set(got1)) > 1  # spreads across the list
+
+
+def test_splash_rewrite_unwrap_roundtrip(spark):
+    """splash_unwrap is the exact inverse of splash_rewrite (the
+    requeue path depends on it to avoid double-wrapping retries)."""
+    from spider_man_spark.functions.urls import splash_rewrite, splash_unwrap
+
+    splash = "http://splash:8050/render.html"
+    urls = [
+        "http://a.io/p/1",
+        "http://a.io/p/1?b=2&a=1",
+        "http://a.io/p x/%20?q=a&b=c d",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    wrapped = df.select(
+        "url", splash_rewrite(F.col("url"), splash).alias("w")
+    )
+    back = wrapped.select(
+        "url", splash_unwrap(F.col("w"), splash).alias("u"),
+    ).collect()
+    for r in back:
+        assert r.u == r.url
+    # passthrough for non-splash urls
+    out = df.select(splash_unwrap(F.col("url"), splash).alias("u")).collect()
+    assert [r.u for r in out] == urls
+
+
+def test_map_put_replaces_existing_key(spark):
+    """map_put must replace, never duplicate (DUPLICATED_MAP_KEY guard
+    for engine-injected option keys on retried rows)."""
+    from spider_man_spark.operators.session import map_put
+
+    df = spark.createDataFrame(
+        [({"h:user-agent": "old", "x": "1"},), (None,)],
+        "options map<string,string>",
+    )
+    once = df.select(
+        map_put(F.col("options"), "h:user-agent", F.lit("new")).alias("o")
+    )
+    twice = once.select(map_put(F.col("o"), "h:user-agent", F.lit("new2")).alias("o"))
+    rows = twice.collect()
+    assert rows[0].o == {"h:user-agent": "new2", "x": "1"}
+    assert rows[1].o == {"h:user-agent": "new2"}
