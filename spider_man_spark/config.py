@@ -102,6 +102,15 @@ class CrawlConfig:
     # False disables the item-processor stage entirely
     # (storage/storage.ex "storage: false" -> item_processor_pid nil).
     storage: Any = "table"
+    # Batcher partition_by (configuration.ex:26-33,138-149): repartition
+    # the items batch by this column before the sink write so a sink
+    # sees key-grouped partitions.
+    partition_by: str | None = None
+    # SaveToFile non-skip forward (save_to_file.ex:40-44): when set,
+    # stored `save2file`-flagged responses re-enter the parse input
+    # with url rewritten to '<save_to_file>/<url_key>' (the storage
+    # path); `_and_skip` responses are stored but never reach parse.
+    save_to_file: str | None = None
     # Component suspend flags (engine.ex:145-191).
     suspended: bool = False
     # Max URLs scheduled per epoch across all hosts (GenStage demand

@@ -92,7 +92,10 @@ def _token_hash64(tokens: list[str]) -> np.ndarray:
 
 
 def simhash64_of(text: str) -> int:
-    """Driver-side single-doc SimHash (reference for tests)."""
+    """Driver-side single-doc SimHash (crc-based token hashes) — a
+    *shape* reference for tests (relative Hamming distances), not
+    value-identical to the distributed :func:`simhash64`, whose token
+    hashes are JVM xxhash64."""
     toks = " ".join(text.lower().split()).split(" ") if text else []
     h = _token_hash64([t for t in toks if t])
     if not len(h):
@@ -105,15 +108,57 @@ def simhash64_of(text: str) -> int:
     return val - (1 << 64) if val >= (1 << 63) else val
 
 
+def _bit_votes_pack(harrs: pd.Series) -> pd.Series:
+    """Numpy-only bit-vote over per-row int64 hash arrays: flatten all
+    rows into one (N_tokens, 64) bit matrix, segment-sum with
+    ``np.add.reduceat`` — zero per-token Python."""
+    arrs = [
+        np.asarray(a, dtype=np.int64).view(np.uint64)
+        if a is not None and len(a)
+        else np.zeros(0, np.uint64)
+        for a in harrs
+    ]
+    lens = np.array([len(a) for a in arrs], np.int64)
+    out = np.zeros(len(arrs), np.int64)
+    nz = lens > 0
+    if nz.any():
+        flat = np.concatenate([a for a in arrs if len(a)])
+        seg_len = lens[nz]
+        offsets = np.zeros(int(nz.sum()), np.int64)
+        offsets[1:] = np.cumsum(seg_len)[:-1]
+        packed = np.zeros(int(nz.sum()), np.uint64)
+        # per-bit 1-D pass (64 shifts + segment sums) — O(tokens) temps
+        # instead of a (tokens, 64) matrix, which is allocation-bound
+        for i in range(64):
+            ones = np.add.reduceat(
+                ((flat >> np.uint64(i)) & np.uint64(1)).astype(np.int64),
+                offsets,
+            )
+            # vote_i > 0  <=>  ones > len/2  <=>  2*ones > len
+            packed |= (2 * ones > seg_len).astype(np.uint64) << np.uint64(i)
+        out[nz] = packed.view(np.int64)
+    return pd.Series(out)
+
+
 def simhash64(col: Column) -> Column:
-    """Vectorized SimHash over a text column (Arrow-batched pandas
-    UDF, built lazily — decorating at import time needs a session)."""
+    """Vectorized SimHash over a text column.
+
+    Token hashing runs **JVM-side** (split + xxhash64 transform inside
+    whole-stage codegen); only the 64-bit vote/pack crosses into an
+    Arrow-batched pandas UDF that is pure numpy matrix work — no
+    per-token (or per-row) Python anywhere.  ~an order of magnitude
+    faster than hashing tokens in Python and the right shape at scale:
+    the Python boundary moves O(tokens) longs, not strings."""
+    toks = F.filter(
+        F.split(normalize_text(col), " "), lambda t: t != F.lit("")
+    )
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
     @pandas_udf("long")
-    def _simhash(texts: pd.Series) -> pd.Series:
-        return texts.fillna("").map(simhash64_of)
+    def _vote(harrs: pd.Series) -> pd.Series:
+        return _bit_votes_pack(harrs)
 
-    return _simhash(col)
+    return _vote(hashes)
 
 
 def hamming64(a: Column, b: Column) -> Column:

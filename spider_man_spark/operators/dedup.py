@@ -39,15 +39,28 @@ def dedup_order() -> list:
     return [F.col("priority").asc(), F.col("depth").asc(), F.col("url_key").asc()]
 
 
+def _order_struct(df: DataFrame):
+    """Orderable tie-break struct for the keep-one winner: the
+    ordering contract (priority, depth) extended by url/retries for
+    deterministic ties (url_key is constant within a group)."""
+    cols = [c for c in ("priority", "depth", "url", "retries") if c in df.columns]
+    return F.struct(*cols)
+
+
 def intra_epoch_dedup(df: DataFrame, key: str = "url_key") -> DataFrame:
     """Keep exactly one row per key, deterministically (the ETS `:set`
-    analogue with a defined winner instead of hash-order)."""
-    w = Window.partitionBy(key).orderBy(*dedup_order())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    analogue with a defined winner instead of hash-order).
+
+    Implemented as ``groupBy(key).agg(min_by(row, order))`` rather than
+    a ``row_number`` window: a hash aggregate gets map-side partial
+    combining and needs no per-partition sort — at 10^9 candidate rows
+    that's the difference between one combine-reduced exchange and a
+    full-width sort-based window."""
+    val_cols = [c for c in df.columns if c != key]
+    g = df.groupBy(key).agg(
+        F.min_by(F.struct(*val_cols), _order_struct(df)).alias("__v")
     )
+    return g.select(key, "__v.*").select(*df.columns)
 
 
 def anti_join_seen(candidates: DataFrame, seen: DataFrame) -> DataFrame:
@@ -166,6 +179,49 @@ def bloom_prefilter(
     return candidates.mapInPandas(_probe, schema=schema + ", maybe_seen boolean")
 
 
+def fused_dedup_anti_join(candidates: DataFrame, seen: DataFrame) -> DataFrame:
+    """Intra-epoch keep-one AND seen-set subtraction in ONE url_key
+    exchange: union candidate rows (tagged 0) with seen keys (tagged 1)
+    and aggregate ``min_by(row, order), max(tag)`` per key — groups
+    containing a seen row are dropped.
+
+    vs window + left_anti: a single hash aggregate with map-side
+    partial combining replaces one sorted window exchange plus a
+    sort-merge anti join (two more sorts and a distinct) — the shared
+    url_key exchange the epoch's admit path was paying twice for."""
+    val_cols = [c for c in candidates.columns if c != "url_key"]
+    order = _order_struct(candidates)
+    # candidates sort before seen rows via the leading 0 tag, so the
+    # winner is always a real candidate row
+    cand2 = candidates.select(
+        "url_key",
+        F.struct(F.lit(0).alias("__t"), order.alias("__o")).alias("__ord"),
+        F.struct(*val_cols).alias("__v"),
+        F.lit(0).alias("__seen"),
+    )
+    vtype = cand2.schema["__v"].dataType
+    otype = cand2.schema["__ord"].dataType
+    seen2 = seen.select(
+        "url_key",
+        F.lit(None).cast(otype).alias("__ord"),
+        F.lit(None).cast(vtype).alias("__v"),
+        F.lit(1).alias("__seen"),
+    )
+    g = (
+        cand2.unionByName(seen2)
+        .groupBy("url_key")
+        .agg(
+            F.min_by("__v", "__ord").alias("__v"),
+            F.max("__seen").alias("__seen"),
+        )
+    )
+    return (
+        g.filter(F.col("__seen") == 0)
+        .select("url_key", "__v.*")
+        .select(*candidates.columns)
+    )
+
+
 def dedup_candidates(
     candidates: DataFrame,
     seen: DataFrame,
@@ -175,11 +231,11 @@ def dedup_candidates(
 ) -> DataFrame:
     """Full dedup: intra-epoch keep-one, then seen-set subtraction,
     optionally Bloom-accelerated (exact backstop keeps it FP-free)."""
-    fresh = intra_epoch_dedup(candidates)
     if bloom_shards is not None:
+        fresh = intra_epoch_dedup(candidates)
         probed = bloom_prefilter(fresh, bloom_shards, n_shards)
         definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
         verified_new = anti_join_seen(maybe, seen)
         return definitely_new.unionByName(verified_new)
-    return anti_join_seen(fresh, seen)
+    return fused_dedup_anti_join(candidates, seen)

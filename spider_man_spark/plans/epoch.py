@@ -61,6 +61,7 @@ class EpochResult:
     fetch_fail: int = 0
     new_requests: int = 0
     items: int = 0
+    item_fail: int = 0
     dead: int = 0
     frontier_size: int = 0
     # whether the committed robots table carries any disallow rules —
@@ -279,9 +280,42 @@ def run_epoch(
         else:
             handle = cfg.callbacks.get("handle_response")
             if handle is not None:
-                new_requests, items = custom_parse(parse_input, handle, epoch)
+                pinput, sf_items = parse_input, None
+                if cfg.save_to_file:
+                    # SaveToFile around a custom spider
+                    # (save_to_file.ex:32-49): both flags store their
+                    # bytes as items; _and_skip halts before the
+                    # spider; plain save2file continues to
+                    # handle_response with url rewritten to the path
+                    from spider_man_spark.sources.parse import (
+                        items_from_images,
+                        saved_url,
+                    )
+
+                    flagged = parse_input.filter(
+                        F.col("flag").isin("save2file", "save2file_and_skip")
+                    )
+                    sf_items = items_from_images(flagged, epoch)
+                    pinput = parse_input.filter(
+                        F.col("flag").isNull()
+                        | (F.col("flag") != "save2file_and_skip")
+                    ).withColumn(
+                        "url",
+                        F.when(
+                            F.col("flag") == "save2file",
+                            saved_url(F.col("url_key"), cfg.save_to_file),
+                        ).otherwise(F.col("url")),
+                    )
+                new_requests, items = custom_parse(pinput, handle, epoch)
+                if sf_items is not None:
+                    items = (
+                        sf_items if items is None
+                        else items.unionByName(sf_items)
+                    )
             else:
-                new_requests, items = default_parse(parse_input, epoch)
+                new_requests, items = default_parse(
+                    parse_input, epoch, save_dir=cfg.save_to_file
+                )
 
     # ---- admit new requests: canonicalize + dedup vs seen ----
     if new_requests is not None and cfg.dedup:
@@ -362,6 +396,82 @@ def run_epoch(
         store.write("seen", seen_rows, epoch)
         res.new_requests = _obs_get(obs_seen, lambda: admitted.count())
         admitted.unpersist()
+    # ---- item-processor stage: sink first (per-item ack), then the
+    # ok rows land in the items state table ----
+    item_dead = None
+    failed_items = None
+    pending_items_out = None  # None = leave the pending snapshot alone
+    if items_all is not None and write_items:
+        t1 = time.monotonic()
+        items_all = items_all.persist(StorageLevel.MEMORY_AND_DISK)
+        ok_items = items_all
+        results = None
+        if sink is not None:
+            sink_input = items_all
+            if cfg.partition_by:
+                # batcher partition_by (configuration.ex:138-149):
+                # key-grouped partitions for the sink write
+                sink_input = items_all.repartition(F.col(cfg.partition_by))
+            results = sink.store(sink_input, epoch)
+        if isinstance(results, DataFrame) and "ok" in results.columns:
+            # per-item zip-split ack (item_processor.ex:94-105): the
+            # sink reported per-row status — failures retry with
+            # retries-1 through the pending queue, exhausted rows
+            # dead-letter with the sink's reason
+            reason_col = (
+                F.col("reason")
+                if "reason" in results.columns
+                else F.lit("sink_error")
+            )
+            fails = results.filter(~F.col("ok")).select(
+                "image_id", reason_col.alias("__reason")
+            )
+            failed_items = items_all.join(fails, "image_id").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            res.item_fail = failed_items.count()
+            if res.item_fail:
+                ok_items = items_all.join(
+                    fails.select("image_id"), "image_id", "left_anti"
+                )
+                pending_items_out = (
+                    failed_items.filter(F.col("retries") > 0)
+                    .withColumn("retries", F.col("retries") - 1)
+                    .select(*[f.name for f in ITEMS_SCHEMA.fields])
+                )
+                item_dead = failed_items.filter(F.col("retries") <= 0).select(
+                    F.lit("item_processor").alias("component"),
+                    F.col("image_id").alias("url_key"),
+                    F.col("image_id").alias("url"),
+                    F.col("caption").alias("payload"),
+                    F.col("__reason").alias("reason"),
+                    (F.col("retries") - 1).alias("retries"),  # ref: -1
+                    F.lit(None).cast("int").alias("depth"),
+                    F.lit(None).cast("int").alias("priority"),
+                    F.lit(None).cast("string").alias("flag"),
+                    F.lit(None).cast("map<string,string>").alias("options"),
+                    F.lit(epoch).cast("int").alias("epoch"),
+                )
+        obs_items = Observation()
+        store.write(
+            "items",
+            ok_items.observe(obs_items, F.count(F.lit(1)).alias("n")),
+            epoch,
+        )
+        res.items = _obs_get(obs_items, lambda: ok_items.count())
+        res.durations_ms["item_processor"] = int((time.monotonic() - t1) * 1000)
+        items_all.unpersist()
+        if pending_items_out is None and parked_items is not None:
+            # parked items were consumed: clear the pending snapshot
+            pending_items_out = spark.createDataFrame([], ITEMS_SCHEMA)
+    elif items_all is not None and "item_processor" in suspended:
+        pending_items_out = items_all
+    elif parked_items is not None:
+        # consumed this epoch: clear the pending snapshot
+        pending_items_out = spark.createDataFrame([], ITEMS_SCHEMA)
+    if pending_items_out is not None:
+        store.write("pending_items", pending_items_out, epoch)
+
     dead_parts = []
     if dead is not None and res.dead:
         dead_parts.append(dead.select(*[f.name for f in FAILED_SCHEMA.fields]))
@@ -378,6 +488,13 @@ def run_epoch(
             res.dead += n_post_dead
             dead_parts.append(
                 post_dead.select(*[f.name for f in FAILED_SCHEMA.fields])
+            )
+    if item_dead is not None:
+        n_item_dead = item_dead.count()  # failed_items is persisted
+        if n_item_dead:
+            res.dead += n_item_dead
+            dead_parts.append(
+                item_dead.select(*[f.name for f in FAILED_SCHEMA.fields])
             )
     obs_dis = None
     if disallowed is not None:
@@ -402,34 +519,6 @@ def run_epoch(
         store.write("failed", all_dead, epoch)
         if obs_dis is not None:
             res.dead += _obs_get(obs_dis, lambda: disallowed.count())
-    if items_all is not None and write_items:
-        t1 = time.monotonic()
-        items_all = items_all.persist(StorageLevel.MEMORY_AND_DISK)
-        obs_items = Observation()
-        store.write(
-            "items",
-            items_all.observe(obs_items, F.count(F.lit(1)).alias("n")),
-            epoch,
-        )
-        res.items = _obs_get(obs_items, lambda: items_all.count())
-        if res.items and sink is not None:
-            # user-configured sink(s) on top of the state table
-            # (K6 dispatch; Multi caches once and fans out)
-            sink.store(items_all, epoch)
-        res.durations_ms["item_processor"] = int((time.monotonic() - t1) * 1000)
-        items_all.unpersist()
-        if parked_items is not None:
-            # parked items were consumed: clear the pending snapshot
-            store.write(
-                "pending_items", spark.createDataFrame([], ITEMS_SCHEMA), epoch
-            )
-    elif items_all is not None and "item_processor" in suspended:
-        store.write("pending_items", items_all, epoch)
-    elif parked_items is not None:
-        # consumed this epoch: clear the pending snapshot
-        store.write(
-            "pending_items", spark.createDataFrame([], ITEMS_SCHEMA), epoch
-        )
     if parked_fetched is not None:
         store.write("pending_fetched", parked_fetched, epoch)
     elif pending_fetched is not None:
@@ -470,8 +559,8 @@ def run_epoch(
          res.durations_ms.get("downloader", 0)),
         (epoch, "spider", res.fetched_ok, res.new_requests + res.items, 0,
          res.durations_ms.get("spider", 0)),
-        (epoch, "item_processor", res.items, res.items, 0,
-         res.durations_ms.get("item_processor", 0)),
+        (epoch, "item_processor", res.items + res.item_fail, res.items,
+         res.item_fail, res.durations_ms.get("item_processor", 0)),
         (epoch, "epoch", res.scheduled, res.fetched_ok, res.fetch_fail, total_ms),
     ]
     store.write(
@@ -486,4 +575,6 @@ def run_epoch(
         post_piped.unpersist()
     if fetched is not None:
         fetched.unpersist()
+    if failed_items is not None:
+        failed_items.unpersist()
     return res

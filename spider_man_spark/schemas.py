@@ -73,7 +73,9 @@ FETCHED_SCHEMA = StructType(
 # ---------------------------------------------------------------------------
 # Items — the output table (item_processor_tid analogue).  Schema per
 # BASELINE.json input_hint; `image_id` plays Item.key
-# (struct/item.ex:4), `epoch` gives lineage.
+# (struct/item.ex:4), `epoch` gives lineage, `retries` the item-level
+# retry budget (struct/item.ex:4 default 1, consumed by the sink
+# zip-split ack path, item_processor.ex:94-105).
 # ---------------------------------------------------------------------------
 ITEMS_SCHEMA = StructType(
     [
@@ -84,6 +86,7 @@ ITEMS_SCHEMA = StructType(
         StructField("fmt", StringType(), True),
         StructField("caption", StringType(), True),
         StructField("phash", LongType(), True),
+        StructField("retries", IntegerType(), True),
         StructField("epoch", IntegerType(), True),
     ]
 )

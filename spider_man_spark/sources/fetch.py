@@ -96,24 +96,57 @@ def fetch_with_retry(
         delay = min(delay * 2, RETRY_MAX_DELAY_MS)
 
 
+def proxy_auth(
+    proxy: str | dict | tuple | None,
+) -> tuple[str | None, dict[str, str]]:
+    """Normalize a proxy spec into (proxy_url, extra_headers).
+
+    Mirrors ``handle_proxy_option`` (finch.ex:74-112, basic-auth fold
+    at 91-100): a bare URL passes through; ``{url, username, password}``
+    (tuple or dict) folds ``proxy-authorization: Basic b64(user:pass)``
+    into the connection headers."""
+    if proxy is None:
+        return None, {}
+    if isinstance(proxy, str):
+        return proxy, {}
+    if isinstance(proxy, dict):
+        url = proxy.get("url")
+        user = proxy.get("username")
+        password = proxy.get("password")
+    else:
+        url, user, password = (tuple(proxy) + (None, None))[:3]
+    headers: dict[str, str] = {}
+    if user is not None:
+        import base64
+
+        token = base64.b64encode(
+            f"{user}:{password or ''}".encode()
+        ).decode()
+        headers["proxy-authorization"] = f"Basic {token}"
+    return url, headers
+
+
 def http_fetch(
     scheduled: DataFrame,
     timeout_s: float = 10.0,
     pool_size: int = 32,
-    proxy: str | None = None,
+    proxy: str | dict | tuple | None = None,
 ) -> DataFrame:
     """Real HTTP fetch via mapInPandas (requires urllib3; unavailable
     networks surface as status 0 rows, never exceptions).  ``proxy``
-    mirrors the reference's proxy conn_opts (finch.ex:74-112)."""
+    mirrors the reference's proxy conn_opts incl. basic-auth
+    (finch.ex:74-112)."""
+    proxy_url, proxy_headers = proxy_auth(proxy)
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         try:
             import urllib3
 
-            if proxy:
+            if proxy_url:
                 pool = urllib3.ProxyManager(
-                    proxy, maxsize=pool_size,
+                    proxy_url, maxsize=pool_size,
                     timeout=urllib3.Timeout(total=timeout_s),
+                    proxy_headers=proxy_headers or None,
                 )
             else:
                 pool = urllib3.PoolManager(

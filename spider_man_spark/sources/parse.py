@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from spider_man_spark.functions.images import decode_image, image_format, phash64
-from spider_man_spark.schemas import DEFAULT_REQUEST_RETRIES
+from spider_man_spark.schemas import DEFAULT_ITEM_RETRIES, DEFAULT_REQUEST_RETRIES
 
 HREF_RE = r'href="([^"]+)"'
 IMGSRC_RE = r'<img src="([^"]+)"'
@@ -153,23 +153,39 @@ def items_from_images(images: DataFrame, epoch: int) -> DataFrame:
         "fmt",
         "caption",
         "phash",
+        F.lit(DEFAULT_ITEM_RETRIES).alias("retries"),
         F.lit(epoch).cast("int").alias("epoch"),
     )
 
 
+def saved_url(url_key, save_dir: str):
+    """The storage-path URL a stored save2file response continues
+    with (save_to_file.ex:40-44 rewrites env.url to ``dir/key``; here
+    the 'file' is the items-table row keyed by url_key)."""
+    return F.concat(F.lit(save_dir.rstrip("/") + "/"), url_key)
+
+
 def default_parse(
-    fetched_ok: DataFrame, epoch: int
+    fetched_ok: DataFrame, epoch: int, save_dir: str | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """(new_requests, items) from successful fetches.
 
     ``save2file_and_skip`` images still produce items but (like the
     reference's ``:skiped``) nothing is forwarded for link extraction
-    — for pages, the flag drops them entirely.
+    — for pages, the flag drops them entirely.  When ``save_dir`` is
+    set, plain ``save2file`` responses additionally *continue to the
+    spider* with their url rewritten to the storage path
+    (save_to_file.ex:40-44 non-skip semantics).
     """
     pages, images = split_images(fetched_ok)
     pages = pages.filter(
         (F.col("flag").isNull()) | (F.col("flag") != "save2file_and_skip")
     )
+    if save_dir:
+        forwarded = images.filter(F.col("flag") == "save2file").withColumn(
+            "url", saved_url(F.col("url_key"), save_dir)
+        )
+        pages = pages.unionByName(forwarded)
     return extract_requests(pages), items_from_images(images, epoch)
 
 
@@ -207,6 +223,7 @@ def custom_parse(
         F.lit(None).cast("string").alias("fmt"),
         "caption",
         F.lit(None).cast("long").alias("phash"),
+        F.lit(DEFAULT_ITEM_RETRIES).alias("retries"),
         F.lit(epoch).cast("int").alias("epoch"),
     )
     return reqs, items

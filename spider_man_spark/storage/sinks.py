@@ -4,6 +4,15 @@ Scale note: every sink is a distributed ``df.write`` — the
 ``single_file`` option (used by byte-golden tests, mirroring the
 reference's single-fd writes, storage/json_lines.ex:22-31) coalesces
 to one partition and is for small outputs only.
+
+Per-item ack protocol (item_processor.ex:94-112): ``store`` may return
+a DataFrame with columns ``image_id``, ``ok:boolean`` and optionally
+``reason:string`` — the engine zip-splits it into success/fail
+accounting: failed rows retry (item ``retries - 1``) through the
+pending queue and dead-letter on exhaustion.  Any other return value
+(path string, None, list) means the whole batch succeeded; a raised
+exception fails the epoch (the reference's ``{:error, _}`` whole-batch
+result).
 """
 
 from __future__ import annotations
@@ -40,7 +49,10 @@ class JsonLinesStorage:
         out = f"{self.path}/e_{epoch:05d}"
         df = items.select(
             F.to_json(
-                F.struct(*[c for c in items.columns if c != "bytes"])
+                # bytes (binary payload) and retries (engine ack
+                # bookkeeping) are not part of the item value
+                F.struct(*[c for c in items.columns
+                           if c not in ("bytes", "retries")])
             ).alias("value")
         )
         if self.single_file:
@@ -128,7 +140,8 @@ class KeyedJsonStorage:
         df = items.select(
             F.substring(F.md5(F.col("image_id")), 1, 2).alias("kp"),
             F.to_json(
-                F.struct(*[c for c in items.columns if c != "bytes"])
+                F.struct(*[c for c in items.columns
+                           if c not in ("bytes", "retries")])
             ).alias("value"),
         )
         df.write.mode("overwrite").partitionBy("kp").text(out)

@@ -300,3 +300,25 @@ def test_pre_pipeline_error_follows_ack_path(spark, tmp_path, corpus):
         row.url_key.endswith("/p/2") and row.reason == "poison"
         for row in failed
     )
+
+
+def test_proxy_auth_basic_header():
+    """finch.ex:91-100: proxy basic-auth folds a proxy-authorization
+    header into the connection options."""
+    import base64
+
+    from spider_man_spark.sources.fetch import proxy_auth
+
+    assert proxy_auth(None) == (None, {})
+    assert proxy_auth("http://p.io:3128") == ("http://p.io:3128", {})
+    url, h = proxy_auth(("http://p.io:3128", "user", "pass"))
+    assert url == "http://p.io:3128"
+    assert h == {
+        "proxy-authorization": "Basic "
+        + base64.b64encode(b"user:pass").decode()
+    }
+    # dict form; empty password encodes as 'user:'
+    url, h = proxy_auth({"url": "http://p.io:1", "username": "u"})
+    assert h == {
+        "proxy-authorization": "Basic " + base64.b64encode(b"u:").decode()
+    }
