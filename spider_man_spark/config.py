@@ -87,10 +87,14 @@ class CrawlConfig:
     max_retries: int = DEFAULT_REQUEST_RETRIES
     # Dedup (DuplicateFilter default-on, configuration.ex:9,23).
     dedup: bool = True
-    # Bloom pre-filter layer in front of the exact seen anti-join.
+    # Bloom pre-filter layer in front of the exact seen anti-join:
+    # per-shard FIXED-size filters persisted in the seen_shards table,
+    # incrementally OR-merged per epoch and probed executor-side.
+    # Size rule: bloom_shard_bits ~= 16 x expected keys per shard
+    # (10^10 keys / 64 shards => ~2^31 bits/shard on a real cluster).
     bloom_enabled: bool = False
     bloom_shards: int = 64
-    bloom_bits_per_item: int = 16
+    bloom_shard_bits: int = 1 << 22
     # Partitioning: host-hash salt shards for skew defusal.
     n_host_shards: int = 32
     # Ranking salt fan-out for the two-phase per-host top-k.
@@ -119,6 +123,17 @@ class CrawlConfig:
     # Compact the seen-delta dirs every N epochs (0 = never) — keeps
     # long crawls' per-epoch anti-join reads O(1) dirs.
     compact_every: int = 16
+    # Explicit shuffle width (None = auto-tune from frontier size at
+    # ~50k rows/partition).  Set explicitly when per-row payloads are
+    # heavy (KB-scale bodies): the row-count heuristic under-counts
+    # bytes and would starve wide clusters of tasks.
+    shuffle_partitions: int | None = None
+    # StorageLevel name for the fetched (body-carrying) cache.
+    # MEMORY_AND_DISK suits ~byte-scale stub bodies; use DISK_ONLY for
+    # KB+ bodies — the in-memory columnar builder allocates unmanaged
+    # heap per batch and evicts everything else at body scale (on a
+    # real cluster TB-scale intermediates belong on local disk anyway).
+    fetched_storage: str = "MEMORY_AND_DISK"
     # Termination (run_until_zero double-check, lib/spider_man.ex:204-211).
     zero_checks: int = 2
     max_epochs: int = 1000

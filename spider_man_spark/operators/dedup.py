@@ -15,18 +15,20 @@ Rebuild, scale-first:
    shuffles *only* candidate keys, and the seen table is
    shard-partitioned by ``pmod(url_hash, n_shards)`` so partition
    pruning applies when candidates are pre-bucketed.
-3. **Bloom pre-filter** (10^10-scale path): per-shard Bloom filters
-   built from ``url_hash`` (numpy, Arrow-batched), broadcast as plain
-   python bytes, probed in a ``mapInPandas`` stage *before* the exact
+3. **Bloom pre-filter** (10^10-scale path): FIXED-size per-shard Bloom
+   filters live in the ``seen_shards`` state table, incrementally
+   OR-merged with each epoch's admitted delta (O(delta) build work,
+   executor-side — never a full rebuild, never a driver collect), and
+   probed via a shard-cogrouped ``applyInPandas`` *before* the exact
    anti-join — the exact join then touches only probable-positives, so
    its shuffle shrinks by ~the novelty rate.  False positives are
    impossible end-to-end (Bloom says "maybe seen" -> exact join
-   verifies); false negatives are impossible by construction.
+   verifies); false negatives are impossible by construction (the
+   shards are a superset of seen: epoch admits and mid-crawl seeds
+   both fold their deltas in).
 """
 
 from __future__ import annotations
-
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -97,15 +99,35 @@ def _probe_positions(hashes: np.ndarray, n_bits: int, k: int) -> np.ndarray:
     )
 
 
-def bloom_build(hashes: np.ndarray, bits_per_item: int = 16, k: int = 7) -> bytes:
-    """Build one Bloom filter (bytes) over int64 url_hash values."""
-    n = max(len(hashes), 1)
-    n_bits = max(64, 1 << int(np.ceil(np.log2(n * bits_per_item))))
+def bloom_build(
+    hashes: np.ndarray,
+    bits_per_item: int = 16,
+    k: int = 7,
+    n_bits: int | None = None,
+) -> bytes:
+    """Build one Bloom filter (bytes) over int64 url_hash values.
+
+    Pass ``n_bits`` (power of two) for a FIXED-size filter — required
+    when filters are incrementally OR-merged across epochs (different
+    sizes cannot be merged); sizing rule n_bits ~= 16 x expected keys
+    per shard keeps FP under ~0.1%."""
+    if n_bits is None:
+        n = max(len(hashes), 1)
+        n_bits = max(64, 1 << int(np.ceil(np.log2(n * bits_per_item))))
     bits = np.zeros(n_bits // 8, dtype=np.uint8)
     if len(hashes):
         pos = _probe_positions(np.asarray(hashes, dtype=np.int64), n_bits, k)
         np.bitwise_or.at(bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
     return bytes(np.array([k], np.uint8).tobytes() + bits.tobytes())
+
+
+def bloom_or(a: bytes, b: bytes) -> bytes:
+    """OR-merge two same-size Bloom filters."""
+    if len(a) != len(b) or a[0] != b[0]:
+        raise ValueError("cannot merge blooms of different size/k")
+    av = np.frombuffer(a, dtype=np.uint8, offset=1)
+    bv = np.frombuffer(b, dtype=np.uint8, offset=1)
+    return bytes(a[:1] + (av | bv).tobytes())
 
 
 def bloom_probe(bloom: bytes, hashes: np.ndarray) -> np.ndarray:
@@ -120,17 +142,18 @@ def bloom_probe(bloom: bytes, hashes: np.ndarray) -> np.ndarray:
 
 
 def build_seen_shards(
-    seen: DataFrame, n_shards: int, bits_per_item: int = 16, epoch: int = 0
+    seen: DataFrame, n_shards: int, n_bits: int = 1 << 22, epoch: int = 0
 ) -> DataFrame:
-    """Aggregate the exact seen table into per-shard Bloom rows
-    (SEEN_SHARDS_SCHEMA) via applyInPandas — one group per shard."""
+    """Aggregate seen rows into FIXED-size per-shard Bloom rows
+    (SEEN_SHARDS_SCHEMA) via applyInPandas — one group per shard,
+    built where the data lives (no driver roundtrip)."""
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         hashes = pdf["url_hash"].to_numpy(dtype=np.int64)
         return pd.DataFrame(
             {
                 "shard": [int(pdf["shard"].iloc[0])],
-                "bloom": [bloom_build(hashes, bits_per_item)],
+                "bloom": [bloom_build(hashes, n_bits=n_bits)],
                 "n_items": [len(hashes)],
                 "epoch": [epoch],
             }
@@ -145,38 +168,71 @@ def build_seen_shards(
     )
 
 
-def bloom_prefilter(
-    candidates: DataFrame, shard_blooms: dict[int, bytes], n_shards: int
+def merge_seen_shards(
+    prev: DataFrame | None, delta: DataFrame, epoch: int
 ) -> DataFrame:
-    """Keep only candidates whose url_hash is NOT ('maybe') in the
-    Bloom layer, plus pass-through of probable-positives flagged for
-    the exact join.  Returns candidates with a ``maybe_seen`` column.
+    """Incremental seen_shards update: OR-merge this epoch's delta
+    filters into the previous snapshot, executor-side (union ->
+    groupBy(shard) -> byte-wise OR).  O(epoch delta) build work per
+    epoch instead of rebuilding every filter from the FULL seen table
+    (which is O(N) per epoch, O(N^2) over a crawl)."""
+    both = delta if prev is None else prev.unionByName(delta)
 
-    ``shard_blooms`` is a small driver-side dict (n_shards entries,
-    each ~bits_per_item*|shard|/8 bytes) shipped to executors via UDF
-    closure — the broadcast-merged-per-epoch structure from the
-    north_rule.
-    """
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        blooms = [bytes(b) for b in pdf["bloom"].values]
+        out = blooms[0]
+        for b in blooms[1:]:
+            out = bloom_or(out, b)
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "bloom": [out],
+                "n_items": [int(pdf["n_items"].sum())],
+                "epoch": [epoch],
+            }
+        )
 
-    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            h = pdf["url_hash"].to_numpy(dtype=np.int64)
-            shard = (h % n_shards + n_shards) % n_shards
-            maybe = np.zeros(len(pdf), bool)
-            for s in np.unique(shard):
-                bl = shard_blooms.get(int(s))
-                if bl is None:
-                    continue
-                m = shard == s
-                maybe[m] = bloom_probe(bl, h[m])
-            out = pdf.copy()
-            out["maybe_seen"] = maybe
-            yield out
-
-    schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
+    return both.groupBy("shard").applyInPandas(
+        _merge, schema="shard int, bloom binary, n_items long, epoch int"
     )
-    return candidates.mapInPandas(_probe, schema=schema + ", maybe_seen boolean")
+
+
+def bloom_probe_cogroup(
+    candidates: DataFrame, shards: DataFrame, n_shards: int
+) -> DataFrame:
+    """Probe candidates against the seen_shards table with a
+    shard-cogrouped applyInPandas: candidates and filter rows are
+    co-partitioned by shard on the EXECUTORS — no driver collect, no
+    closure-captured filter bytes (the round-1 design shipped ~GBs of
+    bloom through the driver per epoch at the 10^10 design point).
+    Returns candidates + ``maybe_seen``."""
+    out_fields = [
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in candidates.schema.fields
+    ]
+    out_schema = ", ".join(out_fields) + ", maybe_seen boolean"
+    cand = candidates.withColumn(
+        "__shard", F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int")
+    )
+
+    def _probe(key, cand_pdf: pd.DataFrame, shard_pdf: pd.DataFrame):
+        out = cand_pdf.drop(columns=["__shard"])
+        if len(shard_pdf):
+            bl = bytes(shard_pdf["bloom"].iloc[0])
+            maybe = bloom_probe(
+                bl, cand_pdf["url_hash"].to_numpy(dtype=np.int64)
+            )
+        else:
+            maybe = np.zeros(len(cand_pdf), bool)
+        out = out.copy()
+        out["maybe_seen"] = maybe
+        return out
+
+    return (
+        cand.groupby("__shard")
+        .cogroup(shards.select("shard", "bloom").groupby("shard"))
+        .applyInPandas(_probe, schema=out_schema)
+    )
 
 
 def fused_dedup_anti_join(candidates: DataFrame, seen: DataFrame) -> DataFrame:
@@ -226,14 +282,20 @@ def dedup_candidates(
     candidates: DataFrame,
     seen: DataFrame,
     *,
-    bloom_shards: dict[int, bytes] | None = None,
+    seen_shards: DataFrame | None = None,
     n_shards: int = 64,
 ) -> DataFrame:
     """Full dedup: intra-epoch keep-one, then seen-set subtraction,
-    optionally Bloom-accelerated (exact backstop keeps it FP-free)."""
-    if bloom_shards is not None:
+    optionally Bloom-accelerated (exact backstop keeps it FP-free).
+
+    With ``seen_shards`` (the per-shard Bloom table): keep-one ->
+    cogrouped shard probe -> exact anti-join on probable-positives
+    only — at high novelty rates the exact join touches a small slice
+    of the candidates, and the seen-table scan prunes to the shards
+    that had a hit."""
+    if seen_shards is not None:
         fresh = intra_epoch_dedup(candidates)
-        probed = bloom_prefilter(fresh, bloom_shards, n_shards)
+        probed = bloom_probe_cogroup(fresh, seen_shards, n_shards)
         definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
         verified_new = anti_join_seen(maybe, seen)

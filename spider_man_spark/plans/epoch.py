@@ -101,7 +101,6 @@ def run_epoch(
     corpus: DataFrame | None = None,
     fetcher=None,
     suspended: set[str] | None = None,
-    bloom_shards: dict[int, bytes] | None = None,
     sink=None,
 ) -> EpochResult:
     """Execute epoch N: read state at N-1, commit state at N.
@@ -123,6 +122,9 @@ def run_epoch(
     seen = store.read_deltas("seen", prev, SEEN_SCHEMA)
     robots = store.read_snapshot("robots", prev)
     session = store.read_snapshot("session", prev) if cfg.cookies else None
+    seen_shards = (
+        store.read_snapshot("seen_shards", prev) if cfg.bloom_enabled else None
+    )
 
     # ---- downloader stage: schedule + fetch ----
     t0 = time.monotonic()
@@ -204,6 +206,7 @@ def run_epoch(
         obs_sched = Observation()
         scheduled = scheduled.observe(obs_sched, F.count(F.lit(1)).alias("n"))
     scheduled = scheduled.persist(StorageLevel.MEMORY_AND_DISK)
+    fetched_level = getattr(StorageLevel, cfg.fetched_storage)
     post_piped = post_retry = post_dead = None
     if run_fetch:
         if fetcher is not None:
@@ -224,7 +227,7 @@ def run_epoch(
             )
 
             post_piped = run_pipeline(fetched, cfg.post_pipelines).persist(
-                StorageLevel.MEMORY_AND_DISK
+                fetched_level
             )
             fetched, _sk, post_err = split_statuses(post_piped)
             post_retry, post_dead = requeue_failures(
@@ -249,7 +252,7 @@ def run_epoch(
                 )
             ).alias("dead"),
         )
-        fetched = fetched.persist(StorageLevel.MEMORY_AND_DISK)
+        fetched = fetched.persist(fetched_level)
         ok_now, failed = split_fetch_results(fetched)
         retry_rows, dead = requeue_failures(failed, "downloader", epoch)
     else:
@@ -323,7 +326,7 @@ def run_epoch(
             new_requests, cfg.base_url, cfg.n_host_shards
         )
         admitted = dedup_candidates(
-            cand, seen, bloom_shards=bloom_shards, n_shards=cfg.bloom_shards
+            cand, seen, seen_shards=seen_shards, n_shards=cfg.bloom_shards
         ).persist(StorageLevel.MEMORY_AND_DISK)
     elif new_requests is not None:
         admitted = intra_epoch_dedup(
@@ -388,18 +391,41 @@ def run_epoch(
         res.fetch_fail = n_fetched - res.fetched_ok
         res.dead = _obs_get(obs_fetch, lambda: dead.count(), "dead")
 
+    # state writes that only depend on already-materialized caches are
+    # DEFERRED into one concurrent driver-thread pool at the end of the
+    # epoch: each is an independent small-to-medium job whose stage
+    # latency would otherwise sit on the sequential critical path
+    deferred_writes: list[tuple[str, DataFrame]] = []
+    obs_seen = None
     if admitted is not None:
         obs_seen = Observation()
         seen_rows = _seen_rows(admitted, cfg.bloom_shards, epoch).observe(
             obs_seen, F.count(F.lit(1)).alias("n")
         )
-        store.write("seen", seen_rows, epoch)
-        res.new_requests = _obs_get(obs_seen, lambda: admitted.count())
-        admitted.unpersist()
+        deferred_writes.append(("seen", seen_rows))
+        if cfg.bloom_enabled:
+            # incremental seen_shards update: build filters ONLY from
+            # this epoch's admitted delta, OR-merge into the previous
+            # snapshot — O(delta) work per epoch, all executor-side
+            from spider_man_spark.operators.dedup import (
+                build_seen_shards,
+                merge_seen_shards,
+            )
+
+            delta_shards = build_seen_shards(
+                _seen_rows(admitted, cfg.bloom_shards, epoch),
+                cfg.bloom_shards,
+                cfg.bloom_shard_bits,
+                epoch,
+            )
+            deferred_writes.append(
+                ("seen_shards", merge_seen_shards(seen_shards, delta_shards, epoch))
+            )
     # ---- item-processor stage: sink first (per-item ack), then the
     # ok rows land in the items state table ----
     item_dead = None
     failed_items = None
+    obs_items = None
     pending_items_out = None  # None = leave the pending snapshot alone
     if items_all is not None and write_items:
         t1 = time.monotonic()
@@ -453,14 +479,10 @@ def run_epoch(
                     F.lit(epoch).cast("int").alias("epoch"),
                 )
         obs_items = Observation()
-        store.write(
-            "items",
-            ok_items.observe(obs_items, F.count(F.lit(1)).alias("n")),
-            epoch,
+        deferred_writes.append(
+            ("items", ok_items.observe(obs_items, F.count(F.lit(1)).alias("n")))
         )
-        res.items = _obs_get(obs_items, lambda: ok_items.count())
         res.durations_ms["item_processor"] = int((time.monotonic() - t1) * 1000)
-        items_all.unpersist()
         if pending_items_out is None and parked_items is not None:
             # parked items were consumed: clear the pending snapshot
             pending_items_out = spark.createDataFrame([], ITEMS_SCHEMA)
@@ -469,8 +491,13 @@ def run_epoch(
     elif parked_items is not None:
         # consumed this epoch: clear the pending snapshot
         pending_items_out = spark.createDataFrame([], ITEMS_SCHEMA)
+    # small end-of-epoch state writes (pending/failed/session/robots)
+    # are collected and submitted CONCURRENTLY from driver threads:
+    # each is a tiny job whose fixed stage latency would otherwise sit
+    # on the epoch's sequential critical path (~4-6 extra round trips)
+    small_writes: list[tuple[str, DataFrame]] = []
     if pending_items_out is not None:
-        store.write("pending_items", pending_items_out, epoch)
+        small_writes.append(("pending_items", pending_items_out))
 
     dead_parts = []
     if dead is not None and res.dead:
@@ -516,21 +543,19 @@ def run_epoch(
         all_dead = dead_parts[0]
         for p in dead_parts[1:]:
             all_dead = all_dead.unionByName(p)
-        store.write("failed", all_dead, epoch)
-        if obs_dis is not None:
-            res.dead += _obs_get(obs_dis, lambda: disallowed.count())
+        small_writes.append(("failed", all_dead))
     if parked_fetched is not None:
-        store.write("pending_fetched", parked_fetched, epoch)
+        small_writes.append(("pending_fetched", parked_fetched))
     elif pending_fetched is not None:
-        store.write(
-            "pending_fetched",
-            spark.createDataFrame([], pending_fetched.schema),
-            epoch,
+        small_writes.append(
+            ("pending_fetched", spark.createDataFrame([], pending_fetched.schema))
         )
 
     if ok_now is not None and cfg.cookies:
         new_sess = harvest_cookies(ok_now, epoch)
-        store.write("session", merge_sessions(session, new_sess, epoch), epoch)
+        small_writes.append(
+            ("session", merge_sessions(session, new_sess, epoch))
+        )
 
     robots_next = advance_robots(
         robots, scheduled, epoch_ts, epoch, cfg.tokens_per_epoch
@@ -544,8 +569,32 @@ def run_epoch(
             F.when(F.size(F.coalesce("disallow_prefixes", F.array())) > 0, 1)
         ).alias("n"),
     )
-    store.write("robots", robots_next, epoch)
+    small_writes.append(("robots", robots_next))
+
+    all_writes = deferred_writes + small_writes
+    if len(all_writes) == 1:
+        store.write(all_writes[0][0], all_writes[0][1], epoch)
+    elif all_writes:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(all_writes)) as pool:
+            futs = [
+                pool.submit(store.write, kind, df, epoch)
+                for kind, df in all_writes
+            ]
+            for f in futs:
+                f.result()  # surface the first failure
+
     res.has_disallow = _obs_get(obs_rob, lambda: 1) > 0
+    if obs_dis is not None:
+        res.dead += _obs_get(obs_dis, lambda: disallowed.count())
+    if obs_seen is not None:
+        res.new_requests = _obs_get(obs_seen, lambda: admitted.count())
+    if obs_items is not None:
+        res.items = _obs_get(
+            obs_items,
+            lambda: store.read_delta_single("items", epoch, ITEMS_SCHEMA).count(),
+        )
     # by now every branch has materialized the scheduled cache
     res.scheduled = (
         _obs_get(obs_sched, lambda: scheduled.count())
@@ -563,11 +612,15 @@ def run_epoch(
          res.item_fail, res.durations_ms.get("item_processor", 0)),
         (epoch, "epoch", res.scheduled, res.fetched_ok, res.fetch_fail, total_ms),
     ]
-    store.write(
-        "metrics", spark.createDataFrame(metrics_rows, METRICS_SCHEMA), epoch
-    )
+    # metrics are 4 driver-side rows: write them with pyarrow directly —
+    # a Spark job here would cost a full scheduling round trip for 4 rows
+    store.write_rows_local("metrics", metrics_rows, METRICS_SCHEMA, epoch)
     res.durations_ms["epoch"] = total_ms
 
+    if admitted is not None:
+        admitted.unpersist()
+    if items_all is not None and write_items:
+        items_all.unpersist()
     scheduled.unpersist()
     if piped is not None:
         piped.unpersist()

@@ -22,6 +22,7 @@ from spider_man_spark.functions.urls import canonicalize_frontier
 from spider_man_spark.operators.dedup import (
     build_seen_shards,
     dedup_candidates,
+    merge_seen_shards,
 )
 from spider_man_spark.operators import retry as retry_ops
 from spider_man_spark.plans.epoch import EpochResult, run_epoch
@@ -54,7 +55,6 @@ class CrawlJob:
         self.fetcher = fetcher
         self.store = StateStore(spark, self.cfg.workdir)
         self.suspended: set[str] = set(COMPONENTS) if self.cfg.suspended else set()
-        self._bloom_shards: dict[int, bytes] | None = None
         # user sinks on top of the items state table ("table" IS the
         # state table; False disables the stage via cfg.storage checks)
         from spider_man_spark.storage import resolve_storage
@@ -151,6 +151,19 @@ class CrawlJob:
         # older seen row into the current dir on each mid-crawl seed
         prev_seen = self.store.read_delta_single("seen", epoch, SEEN_SCHEMA)
         self.store.rewrite("seen", prev_seen.unionByName(new_seen), epoch)
+        if self.cfg.bloom_enabled:
+            # the Bloom layer must stay a superset of the seen set:
+            # fold the seed delta into the seen_shards snapshot too
+            prev_shards = self.store.read_snapshot("seen_shards", epoch)
+            delta = build_seen_shards(
+                new_seen, self.cfg.bloom_shards, self.cfg.bloom_shard_bits,
+                epoch,
+            )
+            self.store.rewrite(
+                "seen_shards",
+                merge_seen_shards(prev_shards, delta, epoch),
+                epoch,
+            )
         if self.store.last_epoch() < 0:
             self.store.commit(epoch=0, job_name=self.cfg.job_name)
         admitted.unpersist()
@@ -175,6 +188,12 @@ class CrawlJob:
         can't be AQE-coalesced (coalescing would break their hash
         requirement), so small epochs would otherwise pay full-width
         task overhead on every rank/dedup stage."""
+        if self.cfg.shuffle_partitions:
+            self.spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(self.cfg.shuffle_partitions),
+            )
+            return
         if self._last_frontier_size is None:
             return
         # ~50k frontier rows per partition: A/B-measured optimum on
@@ -189,7 +208,7 @@ class CrawlJob:
         self._tune_partitions()
         epoch = self.store.last_epoch() + 1
         if self.cfg.bloom_enabled:
-            self._refresh_blooms(epoch - 1)
+            self._ensure_seen_shards(epoch - 1)
         self._reload_fetch_options(epoch)
         fetcher = self.fetcher
         if fetcher is None and self.corpus is None:
@@ -215,7 +234,6 @@ class CrawlJob:
             corpus=self.corpus,
             fetcher=fetcher,
             suspended=self.suspended,
-            bloom_shards=self._bloom_shards,
             sink=self.sink,
         )
         self.store.commit(
@@ -250,12 +268,19 @@ class CrawlJob:
             with open(p) as f:
                 self.fetch_options = json.load(f)
 
-    def _refresh_blooms(self, up_to: int) -> None:
-        seen = self.store.read_deltas("seen", up_to, SEEN_SCHEMA)
+    def _ensure_seen_shards(self, up_to: int) -> None:
+        """One-time bootstrap of the seen_shards snapshot from the
+        exact seen table (bloom enabled mid-crawl / legacy checkpoint).
+        Steady-state updates are incremental inside run_epoch — this
+        never runs again once a snapshot exists."""
+        if self.store._epochs("seen_shards", up_to):
+            return
+        epoch = max(up_to, 0)
+        seen = self.store.read_deltas("seen", epoch, SEEN_SCHEMA)
         shards = build_seen_shards(
-            seen, self.cfg.bloom_shards, self.cfg.bloom_bits_per_item, up_to
-        ).collect()
-        self._bloom_shards = {r.shard: bytes(r.bloom) for r in shards}
+            seen, self.cfg.bloom_shards, self.cfg.bloom_shard_bits, epoch
+        )
+        self.store.write("seen_shards", shards, epoch)
 
     def run_until_zero(self, max_epochs: int | None = None) -> dict[str, Any]:
         """Loop until the frontier is empty ``zero_checks`` epochs in a

@@ -34,7 +34,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 SNAPSHOT_KINDS = frozenset(
-    {"frontier", "robots", "session", "pending_fetched", "pending_items"}
+    {"frontier", "robots", "session", "pending_fetched", "pending_items",
+     "seen_shards"}
 )
 DELTA_KINDS = frozenset({"seen", "items", "failed", "metrics"})
 
@@ -73,6 +74,39 @@ class StateStore:
     def write(self, kind: str, df: DataFrame, epoch: int) -> None:
         path = os.path.join(self.workdir, kind, _edir(epoch))
         df.write.mode("overwrite").parquet(path)
+
+    def write_rows_local(
+        self, kind: str, rows: list[tuple], schema: StructType, epoch: int
+    ) -> None:
+        """Write a handful of DRIVER-side rows as a spark-readable
+        parquet dir via pyarrow — no Spark job (a scheduling round
+        trip for 4 metrics rows is pure fixed cost on the epoch's
+        critical path)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        type_map = {
+            "int": pa.int32(),
+            "bigint": pa.int64(),
+            "string": pa.string(),
+            "double": pa.float64(),
+            "boolean": pa.bool_(),
+        }
+        fields = [
+            pa.field(f.name, type_map[f.dataType.simpleString()], f.nullable)
+            for f in schema.fields
+        ]
+        cols = {
+            f.name: [r[i] for r in rows] for i, f in enumerate(schema.fields)
+        }
+        path = os.path.join(self.workdir, kind, _edir(epoch))
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(
+            pa.table(cols, schema=pa.schema(fields)),
+            os.path.join(path, "part-00000.parquet"),
+        )
+        open(os.path.join(path, "_SUCCESS"), "w").close()
 
     def rewrite(self, kind: str, df: DataFrame, epoch: int) -> None:
         """Overwrite an epoch dir with a DataFrame that may READ from

@@ -73,12 +73,37 @@ def get_spark(
     # this from NVMe-local scratch per executor)
     if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
         builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
+        # local-cluster workers IGNORE spark.local.dir and read
+        # SPARK_LOCAL_DIRS from their (inherited) environment — without
+        # this, multi-executor legs silently shuffle to the one shared
+        # system disk while local mode uses tmpfs
+        os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
     if master.startswith("local-cluster"):
         # separate executor JVMs spawn their own Python workers, which
         # need this package on their path (the spark-submit --py-files
         # equivalent for the in-sandbox multi-executor mode)
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         builder = builder.config("spark.executorEnv.PYTHONPATH", repo_root)
+        # local-cluster[n,c,mem] only caps the WORKER; executors would
+        # otherwise run on the 1g default heap.  Size the executor to
+        # the worker allowance minus headroom for the Python workers.
+        try:
+            parts = master.split("[")[1].rstrip("]").split(",")
+            exec_cores = int(parts[1].strip())
+            worker_mb = int(parts[2].strip())
+            exec_mb = max(worker_mb - 1024, 1024)
+            builder = builder.config("spark.executor.memory", f"{exec_mb}m")
+            # each executor JVM otherwise sizes GC/netty/IO pools for
+            # ALL host cores (availableProcessors): with N executors
+            # per host that's N x oversubscription and measured ~5x
+            # task-time inflation.  A real cluster manager does this
+            # via cgroups; here the JVM flag is the equivalent.
+            builder = builder.config(
+                "spark.executor.extraJavaOptions",
+                f"-XX:ActiveProcessorCount={exec_cores}",
+            )
+        except (IndexError, ValueError):
+            pass
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -66,8 +66,15 @@ def make_corpus(
     seed: int = 42,
     image_fmt: str = "png",
     crawl_delays: tuple[int, ...] = (0, 100, 200),
+    body_filler_bytes: int = 0,
 ) -> DataFrame:
-    """Build the corpus DataFrame (CORPUS_SCHEMA)."""
+    """Build the corpus DataFrame (CORPUS_SCHEMA).
+
+    ``body_filler_bytes`` pads each page body with deterministic
+    md5-chain hex (compression-resistant, regex-inert) — the scaling
+    bench uses it to give pages design-point weight (~KBs) instead of
+    ~300 bytes, so per-row fetch/parse compute dominates fixed stage
+    latency."""
     # --- per-host page counts (hot hosts get 10x) ---
     hosts = spark.createDataFrame(
         [
@@ -114,6 +121,24 @@ def make_corpus(
         F.lit(""),
         lambda acc, u: F.concat(acc, F.lit('<a href="'), u, F.lit('">l</a>')),
     )
+    filler = F.lit("")
+    if body_filler_bytes > 0:
+        # 32 hex chars per md5 — deterministic per (url, i), does not
+        # contain href/img/caption markers so the parser is unaffected
+        n_chunks = (body_filler_bytes + 31) // 32
+        filler = F.concat(
+            F.lit("<p>"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(n_chunks)),
+                    lambda i: F.md5(
+                        F.concat(F.format_string("f%d|%d|", hi, j), i.cast("string"))
+                    ),
+                ),
+                "",
+            ),
+            F.lit("</p>"),
+        )
     body = F.concat(
         F.lit("<html><body>"),
         anchors,
@@ -121,7 +146,9 @@ def make_corpus(
         img_src,
         F.lit('"/><p class="caption">'),
         caption,
-        F.lit("</p></body></html>"),
+        F.lit("</p>"),
+        filler,
+        F.lit("</body></html>"),
     )
 
     status = (

@@ -322,3 +322,59 @@ def test_proxy_auth_basic_header():
     assert h == {
         "proxy-authorization": "Basic " + base64.b64encode(b"u:").decode()
     }
+
+
+def test_bloom_layer_equivalent_at_10k_seeds_no_driver_collect(
+    spark, tmp_path
+):
+    """Blooms-on crawl admits exactly the same seen set as the exact
+    path at 10k+ seeds (FP-free end-to-end: the exact anti-join
+    backstops probable-positives), the seen_shards snapshot is
+    maintained incrementally, and nothing in the bloom path collects
+    filter bytes through the driver."""
+    import inspect
+
+    from pyspark.sql import functions as F
+
+    from spider_man_spark.operators import dedup as dedup_mod
+    from spider_man_spark.plans import job as job_mod
+
+    c = make_corpus(spark, n_hosts=10, pages_per_host=1000, out_degree=1,
+                    images_per_host=1, hot_hosts=0).cache()
+
+    def run(path, bloom):
+        job = CrawlJob(
+            spark,
+            CrawlConfig(workdir=str(path), tokens_per_epoch=4000,
+                        max_epochs=8, dedup=True, bloom_enabled=bloom,
+                        bloom_shards=16, bloom_shard_bits=1 << 18),
+            corpus=c,
+        )
+        seeds = spark.range(10_000).select(
+            F.format_string(
+                "http://h%d.test/p/%d",
+                (F.col("id") % 10).cast("int"),
+                (F.col("id") / 10).cast("int"),
+            ).alias("url")
+        )
+        assert job.insert_requests_df(seeds) == 10_000
+        for _ in range(3):
+            job.step()
+        seen = sorted(
+            r.url_key
+            for r in job.store.read_deltas("seen", 10**6)
+            .select("url_key").distinct().collect()
+        )
+        return job, seen
+
+    job_b, seen_bloom = run(tmp_path / "bloom", True)
+    _, seen_exact = run(tmp_path / "exact", False)
+    assert seen_bloom == seen_exact
+    # incremental snapshot exists and covers every seen key
+    shards = job_b.store.read_snapshot("seen_shards", 10**6)
+    assert shards is not None
+    n_items = sum(r.n_items for r in shards.collect())
+    assert n_items == len(seen_bloom)
+    # no driver-side collect anywhere in the bloom/dedup path
+    assert ".collect(" not in inspect.getsource(dedup_mod)
+    assert ".collect(" not in inspect.getsource(job_mod.CrawlJob._ensure_seen_shards)

@@ -85,17 +85,51 @@ def test_bloom_dedup_equals_exact_dedup(spark):
     exact = sorted(
         r.url_key for r in dedup_candidates(cand, seen).collect()
     )
-    blooms = {
-        r.shard: bytes(r.bloom)
-        for r in build_seen_shards(seen, 64).collect()
-    }
+    shards = build_seen_shards(seen, 64, n_bits=1 << 16)
     with_bloom = sorted(
         r.url_key
         for r in dedup_candidates(
-            cand, seen, bloom_shards=blooms, n_shards=64
+            cand, seen, seen_shards=shards, n_shards=64
         ).collect()
     )
     assert with_bloom == exact
+
+
+def test_seen_shards_incremental_merge_equals_full_build(spark):
+    """OR-merging per-epoch delta filters equals building from the
+    full seen table (the O(N)-per-epoch rebuild the merge replaces)."""
+    import numpy as np
+
+    from spider_man_spark.operators.dedup import (
+        bloom_probe,
+        merge_seen_shards,
+    )
+
+    urls = [f"http://h{i % 5}.io/p/{i}" for i in range(300)]
+    cand = _frontier(spark, urls)
+    all_seen = cand.select(
+        "url_key", "url_hash",
+        F.pmod("url_hash", F.lit(8)).cast("int").alias("shard"),
+        F.lit(0).alias("epoch"),
+    )
+    d1 = all_seen.filter(F.col("url_hash") % 2 == 0)
+    d2 = all_seen.filter(F.col("url_hash") % 2 != 0)
+    full = {
+        r.shard: bytes(r.bloom)
+        for r in build_seen_shards(all_seen, 8, n_bits=1 << 14).collect()
+    }
+    merged_df = merge_seen_shards(
+        build_seen_shards(d1, 8, n_bits=1 << 14, epoch=1),
+        build_seen_shards(d2, 8, n_bits=1 << 14, epoch=2),
+        epoch=2,
+    )
+    merged = {r.shard: bytes(r.bloom) for r in merged_df.collect()}
+    assert merged == full
+    # and probing the merged filters finds every key
+    hashes = np.array([r.url_hash for r in all_seen.collect()], np.int64)
+    for s, bl in merged.items():
+        hs = hashes[(hashes % 8 + 8) % 8 == s]
+        assert bloom_probe(bl, hs).all()
 
 
 # ---------------- politeness ----------------
