@@ -32,6 +32,47 @@ def order_cols() -> list:
     return [F.col("priority").asc(), F.col("depth").asc(), F.col("url_key").asc()]
 
 
+def parse_robots_bodies(
+    robots_pages: DataFrame,
+    tokens_default: int = DEFAULT_TOKENS_PER_EPOCH,
+    epoch: int = 0,
+) -> DataFrame:
+    """Parse fetched ``/robots.txt`` bodies into ROBOTS_SCHEMA rows —
+    pure column exprs (north_rule: per-host crawl-delay windows and
+    disallow rules come from robots.txt state).
+
+    Input needs (host, body) for status-200 robots responses.  Parsed:
+    ``Crawl-delay: <seconds>`` (fractional allowed -> ms) and every
+    ``Disallow: <prefix>`` under any user-agent section (conservative:
+    a prefix disallowed for anyone is honored; empty ``Disallow:``
+    lines — allow-all markers — are dropped)."""
+    body_str = F.col("body").cast("string")
+    delay_s = F.regexp_extract(
+        body_str, r"(?i)crawl-delay:\s*([0-9]*\.?[0-9]+)", 1
+    )
+    prefixes = F.array_remove(
+        F.transform(
+            F.regexp_extract_all(
+                body_str, F.lit(r"(?i)disallow:[ \t]*(\S*)"), F.lit(1)
+            ),
+            lambda p: F.trim(p),
+        ),
+        "",
+    )
+    return robots_pages.select(
+        "host",
+        F.when(delay_s == "", F.lit(0))
+        .otherwise(F.round(delay_s.cast("double") * 1000).cast("int"))
+        .alias("crawl_delay_ms"),
+        F.lit(tokens_default).alias("tokens_per_epoch"),
+        F.lit(0).cast("long").alias("next_allowed_ts"),
+        F.when(F.size(prefixes) > 0, prefixes)
+        .otherwise(F.lit(None).cast("array<string>"))
+        .alias("disallow_prefixes"),
+        F.lit(epoch).cast("int").alias("epoch"),
+    )
+
+
 def join_robots(frontier: DataFrame, robots: DataFrame | None) -> DataFrame:
     """Attach per-host politeness state (left join; hosts without a
     robots row get defaults).  robots is per-host — small relative to

@@ -78,24 +78,40 @@ class CrawlJob:
         self._hook("init", self)
 
     def _bootstrap_robots(self) -> None:
-        """Seed per-host politeness state from the corpus ground truth
-        (the robots.txt-fetch analogue; a real deployment would fetch
-        /robots.txt in epoch 0 instead).  No-op when resuming."""
+        """Seed per-host politeness state by FETCHING and PARSING each
+        host's /robots.txt from the corpus (north_rule: crawl-delay
+        windows and disallow rules come from robots.txt state); hosts
+        without a robots.txt fall back to the corpus's per-host
+        crawl-delay ground truth.  No-op when resuming."""
         epoch = max(self.store.last_epoch(), 0)
         if self.corpus is None or self.store.read_snapshot("robots", epoch) is not None:
             return
-        robots0 = (
+        from spider_man_spark.operators.politeness import parse_robots_bodies
+
+        ground = (
             self.corpus.filter(F.col("host").isNotNull())
             .groupBy("host")
-            .agg(F.max("crawl_delay_ms").alias("crawl_delay_ms"))
-            .select(
-                "host",
-                F.coalesce("crawl_delay_ms", F.lit(0)).alias("crawl_delay_ms"),
-                F.lit(self.cfg.tokens_per_epoch).alias("tokens_per_epoch"),
-                F.lit(0).cast("long").alias("next_allowed_ts"),
-                F.lit(None).cast("array<string>").alias("disallow_prefixes"),
-                F.lit(epoch).cast("int").alias("epoch"),
-            )
+            .agg(F.max("crawl_delay_ms").alias("__gt_delay"))
+        )
+        robots_pages = self.corpus.filter(
+            F.col("url").endswith("/robots.txt") & (F.col("status") == 200)
+        ).select("host", "body")
+        parsed = parse_robots_bodies(
+            robots_pages, self.cfg.tokens_per_epoch, epoch
+        ).select(
+            "host",
+            F.col("crawl_delay_ms").alias("__rb_delay"),
+            "disallow_prefixes",
+        )
+        robots0 = ground.join(parsed, "host", "left").select(
+            "host",
+            F.coalesce("__rb_delay", "__gt_delay", F.lit(0)).alias(
+                "crawl_delay_ms"
+            ),
+            F.lit(self.cfg.tokens_per_epoch).alias("tokens_per_epoch"),
+            F.lit(0).cast("long").alias("next_allowed_ts"),
+            "disallow_prefixes",
+            F.lit(epoch).cast("int").alias("epoch"),
         )
         self.store.write("robots", robots0, epoch)
 

@@ -206,7 +206,39 @@ def make_corpus(
     images = spark.range(n_images).repartition(
         min(parallelism, max(n_images // 32, 1))
     ).mapInPandas(_gen_images, schema=CORPUS_SCHEMA)
-    return page_rows.unionByName(images)
+
+    # --- robots.txt per host: the ground truth the engine's politeness
+    # bootstrap PARSES (crawl-delay in seconds, fractional ok; /admin
+    # is disallowed everywhere — no such pages exist, so it exercises
+    # the disallow path without changing the reachable graph) ---
+    robots_body = F.concat(
+        F.lit("User-agent: *\n"),
+        F.when(
+            F.col("crawl_delay_ms") > 0,
+            F.concat(
+                F.lit("Crawl-delay: "),
+                (F.col("crawl_delay_ms") / 1000.0).cast("string"),
+                F.lit("\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("host_idx") % 4 == 1, F.lit("Disallow: /admin\n")
+        ).otherwise(F.lit("")),
+    )
+    robots_rows = hosts.select(
+        F.format_string("http://h%d.test/robots.txt", F.col("host_idx")).alias(
+            "url"
+        ),
+        F.col("host"),
+        F.lit(200).alias("status"),
+        F.lit("text/plain").alias("content_type"),
+        robots_body.cast("binary").alias("body"),
+        F.lit(None).cast("array<string>").alias("links"),
+        F.lit(None).cast("string").alias("caption"),
+        F.col("crawl_delay_ms"),
+        F.lit(None).cast("string").alias("set_cookie"),
+    )
+    return page_rows.unionByName(images).unionByName(robots_rows)
 
 
 def expected_image_phash(host_idx: int, img_idx: int, seed: int = 42) -> int:

@@ -160,3 +160,31 @@ def test_seed_deltas_not_inflated_by_reseeding(spark, tmp_path, corpus):
     assert seen.count() == seen_after_step + 5
     # set-semantic: no duplicate keys across delta dirs
     assert seen.select("url_key").distinct().count() == seen.count()
+
+
+def test_robots_txt_bootstrap_parses_delay_and_disallow(spark, tmp_path, corpus):
+    """CrawlJob bootstraps per-host politeness by parsing the corpus's
+    /robots.txt documents: crawl-delay matches the generator ground
+    truth and host_idx%4==1 hosts carry the /admin disallow, enforced
+    end-to-end (seeded /admin URL dead-letters as 'disallowed')."""
+    from spider_man_spark.sources.corpus import make_corpus
+
+    c = make_corpus(
+        spark, n_hosts=6, pages_per_host=4, out_degree=1, images_per_host=1,
+        hot_hosts=0, crawl_delays=(0, 100, 200),
+    ).cache()
+    job = _job(spark, tmp_path, c)
+    robots = {r.host: r for r in job.store.read_snapshot("robots", 0).collect()}
+    # crawl-delay round-trips robots.txt text (seconds, fractional)
+    assert robots["h0.test"].crawl_delay_ms == 0
+    assert robots["h1.test"].crawl_delay_ms == 100
+    assert robots["h2.test"].crawl_delay_ms == 200
+    # Disallow: /admin present exactly on host_idx % 4 == 1
+    assert robots["h1.test"].disallow_prefixes == ["/admin"]
+    assert robots["h5.test"].disallow_prefixes == ["/admin"]
+    assert robots["h0.test"].disallow_prefixes is None
+    # enforced: an /admin URL on a disallowing host dead-letters
+    job.insert_requests(["http://h1.test/admin/x", "http://h0.test/p/0"])
+    job.step()
+    dead = {r.url_key: r.reason for r in job.failed().collect()}
+    assert dead.get("http://h1.test/admin/x") == "disallowed"

@@ -332,3 +332,25 @@ def test_crawl_delay_window_blocks(spark):
     assert [r.host for r in sched.collect()] == ["b.io"]
     assert [r.host for r in deferred.collect()] == ["a.io"]
     assert disallowed.count() == 0
+
+
+def test_parse_robots_bodies_exprs(spark):
+    """robots.txt parsing (crawl-delay seconds -> ms incl. fractional,
+    Disallow prefixes, case-insensitive, empty-Disallow dropped)."""
+    from spider_man_spark.operators.politeness import parse_robots_bodies
+
+    bodies = [
+        ("a.io", b"User-agent: *\nCrawl-Delay: 0.1\nDisallow: /Priv\nDisallow: /tmp\n"),
+        ("b.io", b"User-agent: *\ndisallow:\n"),          # allow-all marker
+        ("c.io", b"User-agent: *\nCrawl-delay: 2\n"),
+        ("d.io", b"garbage with no directives"),
+    ]
+    df = spark.createDataFrame(bodies, "host string, body binary")
+    got = {r.host: r for r in parse_robots_bodies(df, epoch=5).collect()}
+    assert got["a.io"].crawl_delay_ms == 100
+    assert got["a.io"].disallow_prefixes == ["/Priv", "/tmp"]
+    assert got["b.io"].crawl_delay_ms == 0
+    assert got["b.io"].disallow_prefixes is None
+    assert got["c.io"].crawl_delay_ms == 2000
+    assert got["d.io"].crawl_delay_ms == 0
+    assert all(r.epoch == 5 for r in got.values())
