@@ -31,8 +31,12 @@ from spider_man_spark.functions.text import (
     token_count,
 )
 from spider_man_spark.functions.urls import canonicalize_url, url_host
-from spider_man_spark.operators.politeness import rank_per_host
-from spider_man_spark.operators.similarity import ann_topk_lsh, cosine_topk
+from spider_man_spark.operators.politeness import global_cap, rank_per_host
+from spider_man_spark.operators.similarity import (
+    ann_topk_lsh,
+    brute_force_dup_pairs,
+    cosine_topk,
+)
 from spider_man_spark.operators.textdedup import (
     dedupe_exact,
     exact_dup_pairs,
@@ -363,6 +367,25 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(emb, qvec, k=10, probe_hamming=2)
 
 
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (exact cosine >= threshold) vs DuckDB
+    list_cosine_similarity — validates the cosine/pair machinery the
+    LSH-bucketed variant verifies with."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    emb = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return brute_force_dup_pairs(emb, threshold=0.3).orderBy("id_a", "id_b")
+
+
+def q_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The max_per_epoch global cap (salted two-phase top-k, no
+    single-partition window) vs a plain ORDER BY ... LIMIT oracle."""
+    frontier = _synth_frontier(spark, sf_dir)
+    capped, _over = global_cap(frontier, 200)
+    return capped.select("url_key", "host").orderBy("url_key")
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid norms — vectorized array agg entirely in
     exprs (posexplode + groupBy)."""
@@ -460,6 +483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "global_topk": q_global_topk,
         "embedding_centroids": q_embedding_centroids,
         "session_cookies": q_session_cookies,
         "windowed_throughput": q_windowed_throughput,
@@ -692,6 +717,24 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q
             ORDER BY cosine DESC, vec_id ASC
             LIMIT 10
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6)
+                       AS cosine
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < 300 AND b.vec_id < 300
+              AND a.vec_id < b.vec_id
+              AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 6) >= 0.3
+            ORDER BY id_a, id_b
+        """,
+        "global_topk": f"""
+            WITH frontier AS ({_SYNTH_FRONTIER_SQL})
+            SELECT url_key, host FROM frontier
+            ORDER BY priority, depth, url_key
+            LIMIT 200
         """,
         "embedding_centroids": """
             SELECT label,
