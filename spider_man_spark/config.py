@@ -139,6 +139,11 @@ class CrawlConfig:
     max_epochs: int = 1000
     # Session-state (SetCookie) stage on/off.
     cookies: bool = False
+    # Per-fetched-page text features (lang / quality / tokens /
+    # fingerprint) written to a page_features state table each epoch —
+    # the crawl -> training-data bridge (off by default: it adds one
+    # deferred write per epoch).
+    page_features: bool = False
     # User callbacks (CommonSpider analogue, common_spider.ex:35-59).
     callbacks: dict[str, Callable[..., Any]] = field(default_factory=dict)
     # Extra pipeline stages: list of (fn: DataFrame -> DataFrame).

@@ -396,6 +396,12 @@ def run_epoch(
     # epoch: each is an independent small-to-medium job whose stage
     # latency would otherwise sit on the sequential critical path
     deferred_writes: list[tuple[str, DataFrame]] = []
+    if cfg.page_features and ok_now is not None:
+        # crawl -> training-data bridge: per-page text features land
+        # in their own delta table (reads the fetched cache)
+        from spider_man_spark.sources.parse import page_features
+
+        deferred_writes.append(("page_features", page_features(ok_now, epoch)))
     obs_seen = None
     if admitted is not None:
         obs_seen = Observation()

@@ -385,6 +385,13 @@ class CrawlJob:
     def items(self) -> DataFrame:
         return self.store.read_deltas("items", self.store.last_epoch(), ITEMS_SCHEMA)
 
+    def page_features(self) -> DataFrame:
+        from spider_man_spark.schemas import PAGE_FEATURES_SCHEMA
+
+        return self.store.read_deltas(
+            "page_features", self.store.last_epoch(), PAGE_FEATURES_SCHEMA
+        )
+
     def failed(self) -> DataFrame:
         return self.store.read_deltas("failed", self.store.last_epoch(), FAILED_SCHEMA)
 

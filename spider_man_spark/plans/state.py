@@ -37,7 +37,9 @@ SNAPSHOT_KINDS = frozenset(
     {"frontier", "robots", "session", "pending_fetched", "pending_items",
      "seen_shards"}
 )
-DELTA_KINDS = frozenset({"seen", "items", "failed", "metrics"})
+DELTA_KINDS = frozenset(
+    {"seen", "items", "failed", "metrics", "page_features"}
+)
 
 
 def _edir(epoch: int) -> str:

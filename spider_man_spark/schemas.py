@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     MapType,
@@ -137,6 +138,26 @@ SEEN_SCHEMA = StructType(
         StructField("url_key", StringType(), False),
         StructField("url_hash", LongType(), False),
         StructField("shard", IntegerType(), False),
+        StructField("epoch", IntegerType(), False),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Page features — optional per-fetched-page text analysis (language,
+# quality, token counts, content fingerprint), the bridge from the
+# crawl engine into the training-data pipeline: a quality-filtered
+# corpus is `page_features JOIN fetched bodies WHERE quality > t`.
+# All features are pure column exprs over the page body.
+# ---------------------------------------------------------------------------
+PAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("url_key", StringType(), False),
+        StructField("host", StringType(), True),
+        StructField("n_chars", IntegerType(), True),
+        StructField("n_tokens", IntegerType(), True),
+        StructField("lang", StringType(), True),
+        StructField("quality", DoubleType(), True),
+        StructField("fingerprint", LongType(), True),
         StructField("epoch", IntegerType(), False),
     ]
 )

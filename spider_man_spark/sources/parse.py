@@ -165,6 +165,34 @@ def saved_url(url_key, save_dir: str):
     return F.concat(F.lit(save_dir.rstrip("/") + "/"), url_key)
 
 
+def page_features(fetched_ok: DataFrame, epoch: int) -> DataFrame:
+    """Per-fetched-page text features (PAGE_FEATURES_SCHEMA) — the
+    bridge from the crawl into a training-data pipeline: a
+    quality-filtered corpus is this table joined back to bodies with a
+    quality/lang predicate.  Pure column exprs, computed in the same
+    pass that already holds the body (no extra scan of the fetched
+    cache beyond this projection)."""
+    from spider_man_spark.functions.text import (
+        fingerprint,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    pages, _images = split_images(fetched_ok)
+    t = F.col("body").cast("string")
+    return pages.select(
+        "url_key",
+        "host",
+        F.length(t).cast("int").alias("n_chars"),
+        token_count(t).cast("int").alias("n_tokens"),
+        lang_id(t).alias("lang"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fingerprint"),
+        F.lit(epoch).cast("int").alias("epoch"),
+    )
+
+
 def default_parse(
     fetched_ok: DataFrame, epoch: int, save_dir: str | None = None
 ) -> tuple[DataFrame, DataFrame]:

@@ -188,3 +188,30 @@ def test_robots_txt_bootstrap_parses_delay_and_disallow(spark, tmp_path, corpus)
     job.step()
     dead = {r.url_key: r.reason for r in job.failed().collect()}
     assert dead.get("http://h1.test/admin/x") == "disallowed"
+
+
+def test_page_features_table(spark, tmp_path, corpus):
+    """page_features=True writes one feature row per fetched page per
+    epoch (the crawl -> training-data bridge), consistent with the
+    text-feature exprs over the same bodies."""
+    from spider_man_spark.functions.text import fingerprint
+
+    job = _job(spark, tmp_path, corpus, page_features=True)
+    job.insert_requests(["http://h0.test/p/0", "http://h1.test/p/0"])
+    job.run_until_zero()
+    pf = job.page_features()
+    rows = {r.url_key: r for r in pf.collect()}
+    assert rows  # pages were fetched
+    # one row per successfully fetched PAGE (images excluded)
+    n_ok_pages = job.stats()["downloader"]["success"] - job.items().count()
+    assert len(rows) == n_ok_pages
+    for r in rows.values():
+        assert r.n_chars > 0 and r.n_tokens > 0
+        assert 0.0 <= r.quality <= 1.0
+        assert r.lang in ("en", "unknown")
+        assert r.fingerprint is not None
+    # fingerprint matches the expr over the corpus body
+    body = corpus.filter(F.col("url") == "http://h0.test/p/0").select(
+        fingerprint(F.col("body").cast("string")).alias("fp")
+    ).first().fp
+    assert rows["http://h0.test/p/0"].fingerprint == body
