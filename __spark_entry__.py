@@ -446,7 +446,13 @@ def q_metrics_tps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("value") > 0.5, 1).otherwise(0))
             .cast("long")
             .alias("success"),
-            F.sum((F.col("value") * 1000).cast("long")).alias("duration_ms"),
+            # floor() BEFORE the cast: Spark's double->long cast truncates
+            # toward zero while DuckDB's CAST(.. AS BIGINT) rounds half-even;
+            # an explicit floor on both engines makes the per-row integer
+            # identical (value >= 0 here, so floor == trunc too).
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias(
+                "duration_ms"
+            ),
         )
         .withColumn(
             "tps_micro",
@@ -774,7 +780,7 @@ def oracle_sql() -> dict[str, str]:
                        count(*) AS total,
                        CAST(sum(CASE WHEN value > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
                            AS success,
-                       sum(CAST(value * 1000 AS BIGINT)) AS duration_ms
+                       sum(CAST(floor(value * 1000) AS BIGINT)) AS duration_ms
                 FROM events GROUP BY event_type
             ) ORDER BY event_type
         """,

@@ -83,9 +83,26 @@ def main() -> None:
             continue
         g, w = normalize(got), normalize(want)
         try:
-            pd.testing.assert_frame_equal(
-                g, w, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-9
-            )
+            # Integer/string columns compare EXACTLY — the driver hashes raw
+            # values, and a tolerant rtol here hid a +-30 duration_ms integer
+            # drift for two rounds (metrics_tps). Only float columns get the
+            # round-trip tolerance (they're pre-rounded to 6dp by normalize).
+            int_cols = [
+                c
+                for c in g.columns
+                if not str(g[c].dtype).startswith("float")
+            ]
+            float_cols = [c for c in g.columns if c not in int_cols]
+            if int_cols:
+                pd.testing.assert_frame_equal(
+                    g[int_cols], w[int_cols], check_dtype=False,
+                    check_exact=True,
+                )
+            if float_cols:
+                pd.testing.assert_frame_equal(
+                    g[float_cols], w[float_cols], check_dtype=False,
+                    check_exact=False, rtol=1e-6, atol=1e-9,
+                )
             print(f"OK    {name}: {len(got)} rows")
         except AssertionError as e:
             print(f"FAIL  {name}: value mismatch\n{str(e)[:600]}")

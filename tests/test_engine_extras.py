@@ -378,3 +378,85 @@ def test_bloom_layer_equivalent_at_10k_seeds_no_driver_collect(
     # no driver-side collect anywhere in the bloom/dedup path
     assert ".collect(" not in inspect.getsource(dedup_mod)
     assert ".collect(" not in inspect.getsource(job_mod.CrawlJob._ensure_seen_shards)
+
+
+def test_fetch_batch_concurrent_inflight_and_order():
+    """fetch_batch must issue >= pool_size requests CONCURRENTLY within a
+    batch (Finch pools 32x8, finch.ex:7-9) while preserving row order and
+    the bounded retry.  A Barrier(pool) inside the fake transport
+    deadlocks (times out -> transport error) unless `pool` requests are
+    in flight at once, so passing statuses prove real overlap."""
+    import threading
+
+    from spider_man_spark.sources.fetch import fetch_batch
+
+    pool = 8
+    barrier = threading.Barrier(pool, timeout=5.0)
+    max_inflight = 0
+    inflight = 0
+    lock = threading.Lock()
+
+    def transport(url, options):
+        nonlocal inflight, max_inflight
+        with lock:
+            inflight += 1
+            max_inflight = max(max_inflight, inflight)
+        try:
+            barrier.wait()  # blocks until `pool` calls overlap
+        finally:
+            with lock:
+                inflight -= 1
+        return (200, "text/html", url.encode(), {"x": "1"})
+
+    urls = [f"http://h{i}.test/p" for i in range(pool * 2)]
+    statuses, cts, bodies, hdrs, ms = fetch_batch(
+        transport, urls, [None] * len(urls), pool_size=pool,
+        sleep=lambda s: None,
+    )
+    assert statuses == [200] * len(urls)  # no barrier timeouts
+    assert max_inflight >= pool
+    # order preserved: body i echoes url i
+    assert [b.decode() for b in bodies] == urls
+    assert all(h == {"x": "1"} for h in hdrs)
+    assert len(ms) == len(urls)
+
+
+def test_fetch_batch_retry_isolated_per_slot():
+    """A retrying URL only stalls its own worker slot; results stay
+    ordered and the retry remains bounded (requester.ex:64-76)."""
+    from spider_man_spark.sources.fetch import fetch_batch
+
+    calls: dict[str, int] = {}
+
+    def transport(url, options):
+        calls[url] = calls.get(url, 0) + 1
+        if url.endswith("/flaky") and calls[url] < 3:
+            return (500, None, None, {})
+        return (200, None, url.encode(), {})
+
+    urls = ["http://a.test/ok", "http://b.test/flaky", "http://c.test/ok"]
+    statuses, _, bodies, _, _ = fetch_batch(
+        transport, urls, [None] * 3, pool_size=2, sleep=lambda s: None
+    )
+    assert statuses == [200, 200, 200]
+    assert [b.decode() for b in bodies] == urls
+    assert calls["http://b.test/flaky"] == 3
+
+
+def test_encode_query_options():
+    """`q:*` option keys fold into the URL as (sorted) query params —
+    Request.options query support (struct/request.ex:5-8,
+    requester/finch.ex:16-22)."""
+    from spider_man_spark.sources.fetch import encode_query
+
+    assert encode_query("http://x.io/p", None) == "http://x.io/p"
+    assert encode_query("http://x.io/p", {"method": "get"}) == "http://x.io/p"
+    assert (
+        encode_query("http://x.io/p", {"q:b": "2", "q:a": "1", "h:ua": "z"})
+        == "http://x.io/p?a=1&b=2"
+    )
+    # existing query string is appended to, values are url-encoded
+    assert (
+        encode_query("http://x.io/p?k=v", {"q:name": "a b"})
+        == "http://x.io/p?k=v&name=a+b"
+    )
