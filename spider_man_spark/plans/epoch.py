@@ -455,16 +455,47 @@ def run_epoch(
                 if "reason" in results.columns
                 else F.lit("sink_error")
             )
-            fails = results.filter(~F.col("ok")).select(
-                "image_id", reason_col.alias("__reason")
+            # Ack coverage is validated, not assumed (the reference's
+            # zip-split relies on 1:1 results, item_processor.ex:94-105):
+            # duplicate ack rows collapse to ok = ALL acks ok (keeping a
+            # failure reason), and items the sink never acked are treated
+            # as failures (reason 'missing_ack') rather than silently
+            # stored — a left join from items_all guarantees exactly one
+            # verdict per item.
+            acks = (
+                results.select("image_id", "ok", reason_col.alias("__reason"))
+                .groupBy("image_id")
+                .agg(
+                    F.min(F.col("ok").cast("int")).cast("boolean").alias("ok"),
+                    F.max(
+                        F.when(~F.col("ok"), F.col("__reason"))
+                    ).alias("__reason"),
+                )
+            )
+            fails = (
+                items_all.select("image_id")
+                .join(acks, "image_id", "left")
+                .filter(F.col("ok").isNull() | ~F.col("ok"))
+                .select(
+                    "image_id",
+                    F.coalesce("__reason", F.lit("missing_ack")).alias(
+                        "__reason"
+                    ),
+                )
             )
             failed_items = items_all.join(fails, "image_id").persist(
                 StorageLevel.MEMORY_AND_DISK
             )
             res.item_fail = failed_items.count()
             if res.item_fail:
+                # anti-join against the PERSISTED failed_items (not the
+                # raw `fails` lineage): the deferred items write must not
+                # re-evaluate the sink's ack DataFrame — a sink whose ack
+                # lazily performs the uploads would re-run its side
+                # effects, and a nondeterministic ack would make ok_items
+                # inconsistent with item_fail/failed_items.
                 ok_items = items_all.join(
-                    fails.select("image_id"), "image_id", "left_anti"
+                    failed_items.select("image_id"), "image_id", "left_anti"
                 )
                 pending_items_out = (
                     failed_items.filter(F.col("retries") > 0)

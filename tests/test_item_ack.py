@@ -179,3 +179,144 @@ def test_save_to_file_nonskip_forwards_with_rewritten_url(
     assert f"cb-{img0}" in items
     assert items[f"cb-{img0}"].caption == f"save2file|saved/{img0}"
     assert f"cb-{img1}" not in items
+
+
+class PartialAckSink:
+    """Returns acks ONLY for image_ids ending in an even digit — odd
+    ones go silently unacked (the reference's zip-split assumes 1:1
+    coverage; the engine must not treat silence as success)."""
+
+    def __init__(self) -> None:
+        self.batches: list[list[str]] = []
+
+    def store(self, items, epoch):
+        self.batches.append(
+            sorted(r.image_id for r in items.select("image_id").collect())
+        )
+        return items.filter(
+            F.substring(F.col("image_id"), -1, 1).cast("int") % 2 == 0
+        ).select(
+            "image_id", F.lit(True).alias("ok"), F.lit(None).cast("string").alias("reason")
+        )
+
+
+def test_missing_acks_are_failures(spark, tmp_path, corpus):
+    """Items absent from the sink's ack DataFrame are failures (reason
+    'missing_ack'), not silent successes: they retry once then
+    dead-letter."""
+    sink = PartialAckSink()
+    cfg = CrawlConfig(
+        workdir=str(tmp_path / "wd"), tokens_per_epoch=50, max_epochs=10,
+        callbacks={"handle_response": _make_items_only_callback()}, storage=sink,
+    )
+    job = CrawlJob(spark, cfg, corpus=corpus)
+    seeds = [f"http://h0.test/p/{i}" for i in range(1, 7)]
+    job.insert_requests(seeds)
+    out = job.run_until_zero()
+    assert out["epochs"] < cfg.max_epochs
+
+    acked = {f"http://h0.test/p/{i}" for i in (2, 4, 6)}
+    silent = {f"http://h0.test/p/{i}" for i in (1, 3, 5)}
+    stored = {r.image_id for r in job.items().collect()}
+    assert stored == acked
+    dead = {r.url_key: r for r in job.failed().collect()}
+    assert set(dead) == silent
+    assert all(r.reason == "missing_ack" for r in dead.values())
+    # each silent item was offered to the sink twice (retries=1 default)
+    from collections import Counter
+
+    seen = Counter(i for b in sink.batches for i in b)
+    assert all(seen[i] == 2 for i in silent)
+    assert all(seen[i] == 1 for i in acked)
+
+
+class DuplicateAckSink:
+    """Returns TWO ack rows per item; for ids ending in '3' the second
+    row is a failure.  Mixed verdicts must collapse to failure and must
+    not fan out duplicate pending/dead rows."""
+
+    def store(self, items, epoch):
+        base = items.select("image_id")
+        ok_rows = base.select(
+            "image_id", F.lit(True).alias("ok"),
+            F.lit(None).cast("string").alias("reason"),
+        )
+        second = base.select(
+            "image_id",
+            (~F.col("image_id").endswith("3")).alias("ok"),
+            F.lit("dup_nack").alias("reason"),
+        )
+        return ok_rows.unionAll(second)
+
+
+def test_duplicate_acks_collapse_without_fanout(spark, tmp_path, corpus):
+    cfg = CrawlConfig(
+        workdir=str(tmp_path / "wd"), tokens_per_epoch=50, max_epochs=10,
+        callbacks={"handle_response": _make_items_only_callback()},
+        storage=DuplicateAckSink(),
+    )
+    job = CrawlJob(spark, cfg, corpus=corpus)
+    seeds = [f"http://h0.test/p/{i}" for i in range(1, 7)]
+    job.insert_requests(seeds)
+    out = job.run_until_zero()
+    assert out["epochs"] < cfg.max_epochs
+
+    bad = "http://h0.test/p/3"
+    stored = sorted(r.image_id for r in job.items().collect())
+    assert stored == sorted(s for s in seeds if s != bad)  # no dup rows
+    dead = [r for r in job.failed().collect()]
+    assert [r.url_key for r in dead] == [bad]  # exactly one dead row
+    assert dead[0].reason == "dup_nack"
+
+
+def test_lazy_ack_lineage_evaluated_exactly_once(spark, tmp_path, corpus):
+    """A sink whose ack DataFrame performs the 'upload' lazily (inside
+    its own lineage) must have that lineage evaluated exactly once per
+    store() call — deriving ok_items from an unpersisted ack would
+    re-run the side effects at the deferred items write."""
+    log = str(tmp_path / "uploads.log")
+
+    class LazyUploadSink:
+        def store(self, items, epoch):
+            logp = log
+
+            def _upload(batches):
+                for pdf in batches:
+                    with open(logp, "a") as f:
+                        for i in pdf["image_id"].values:
+                            f.write(i + "\n")
+                    yield pd.DataFrame(
+                        {
+                            "image_id": pdf["image_id"].values,
+                            "ok": [
+                                not i.endswith("3")
+                                for i in pdf["image_id"].values
+                            ],
+                            "reason": ["lazy_boom"] * len(pdf),
+                        }
+                    )
+
+            return items.select("image_id").coalesce(1).mapInPandas(
+                _upload, "image_id string, ok boolean, reason string"
+            )
+
+    cfg = CrawlConfig(
+        workdir=str(tmp_path / "wd"), tokens_per_epoch=50, max_epochs=10,
+        callbacks={"handle_response": _make_items_only_callback()},
+        storage=LazyUploadSink(),
+    )
+    job = CrawlJob(spark, cfg, corpus=corpus)
+    seeds = [f"http://h0.test/p/{i}" for i in range(1, 7)]
+    job.insert_requests(seeds)
+    out = job.run_until_zero()
+    assert out["epochs"] < cfg.max_epochs
+
+    from collections import Counter
+
+    with open(log) as f:
+        uploads = Counter(line.strip() for line in f if line.strip())
+    bad = "http://h0.test/p/3"
+    # failing item uploaded twice (one retry), everything else once —
+    # NO re-evaluations beyond the per-epoch store() call
+    assert uploads[bad] == 2
+    assert all(uploads[s] == 1 for s in seeds if s != bad)
