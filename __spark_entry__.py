@@ -358,13 +358,53 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (multi-probe) — rows-only check (bucketing is
-    engine-specific); correctness vs brute force is pytest-verified."""
+    """LSH-bucketed ANN (multi-probe).  The RP planes are seeded
+    (similarity.random_planes, rng(42)), so the bucket bits are plain
+    sign(dot) tests expressible in SQL — the oracle rebuilds them with
+    literal plane lists + list_dot_product and probes
+    bit_count(xor) <= 2, exact cosine top-k on the survivors."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
     return ann_topk_lsh(emb, qvec, k=10, probe_hamming=2)
+
+
+def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 12) -> str:
+    """DuckDB mirror of q_ann_lsh_topk: the seeded planes are embedded
+    as literal DOUBLE[] lists (repr() round-trips exactly), bucket bit i
+    = sign(list_dot_product(v, plane_i)), multi-probe Hamming <= 2."""
+    from spider_man_spark.operators.similarity import random_planes
+
+    planes = random_planes(dim, n_planes=n_planes)
+
+    def lits(p) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    row_bits = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lits(p)}) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    q_bits = " + ".join(
+        f"(CASE WHEN list_dot_product(qv, {lits(p)}) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id = 0),
+        qb AS (SELECT CAST({q_bits} AS BIGINT) AS qbucket FROM q),
+        bb AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      CAST({row_bits} AS BIGINT) AS bucket
+               FROM embeddings)
+        SELECT bb.vec_id,
+               round(list_cosine_similarity(bb.v, q.qv), 6) AS cosine
+        FROM bb, qb, q
+        WHERE bit_count(xor(bb.bucket, qb.qbucket)) <= 2
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT 10
+    """
 
 
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -716,6 +756,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE jaccard >= 0.99
             ORDER BY id_a, id_b
         """,
+        "ann_lsh_topk": _ann_lsh_oracle_sql(),
         "embedding_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,
