@@ -8,15 +8,22 @@ Prints ONE JSON line:
 Env:
   SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[] parallelism (default 32)
-  SPARK_GRAFT_SCALING  "1" -> additionally run the compute-dominated
-                       scaling shape at local[2] (N) vs local[8]
-                       (4N cores), interleaved twice, and report raw +
-                       hardware-calibrated N->4N scaling efficiency
-                       plus the cross-parallelism schedule digest
-                       (the two-cluster-size evidence for BASELINE.md;
-                       2 vs 8 because the host's aggregate CPU is
-                       measured near-linear only up to ~8 busy cores —
-                       see BASELINE.md round-2 notes)
+  SPARK_GRAFT_SCALING  "0" -> skip the scaling leg.  DEFAULT ON ("1"):
+                       the compute-dominated scaling shape runs at
+                       local[2] (N) vs local[8] (4N cores), interleaved
+                       (up to twice, within the time budget), reporting
+                       raw + hardware-calibrated N->4N scaling
+                       efficiency plus the cross-parallelism schedule
+                       digest — the two-cluster-size evidence, now in
+                       the default artifact.  2 vs 8 because the host's
+                       aggregate CPU is measured near-linear only up to
+                       ~8 busy cores (BASELINE.md round-2 notes).  The
+                       scale legs run with the Bloom seen-layer ON; one
+                       extra bloom-off local[8] leg proves digest
+                       equivalence under load.
+  SPARK_GRAFT_SCALING_BUDGET_S  wall budget for the scaling section
+                       (default 1500): pair 2 is skipped when the
+                       budget is spent (reported as pairs_run).
 """
 
 from __future__ import annotations
@@ -98,7 +105,7 @@ def gen_scale_corpus(path: str) -> None:
 
 
 def crawl_bench(master: str, cores: int, scale: bool = False,
-                corpus_path: str | None = None) -> dict:
+                corpus_path: str | None = None, bloom: bool = False) -> dict:
     """Run a fixed-shape synthetic crawl; returns throughput stats.
 
     ``master`` may be ``local[N]`` (single JVM) or
@@ -152,6 +159,7 @@ def crawl_bench(master: str, cores: int, scale: bool = False,
                 max_epochs=epochs + 1, rank_salts=8,
                 shuffle_partitions=SCALE_SHUFFLE_PARTITIONS if scale else None,
                 fetched_storage="DISK_ONLY" if scale else "MEMORY_AND_DISK",
+                bloom_enabled=bloom,
             ),
             corpus=corpus,
         )
@@ -221,7 +229,7 @@ def query_bench(sf_dir: str, cpus: int) -> dict[str, float]:
 
 def _crawl_bench_subprocess(
     master: str, cores: int, scale: bool = False,
-    corpus_path: str | None = None,
+    corpus_path: str | None = None, bloom: bool = False,
 ) -> dict:
     """Run one crawl leg in a FRESH process: a stopped local-mode
     SparkContext leaves its JVM (heap, metaspace, tmpfs scratch)
@@ -233,6 +241,8 @@ def _crawl_bench_subprocess(
             str(cores)]
     if scale:
         argv += ["--scale", corpus_path or ""]
+    if bloom:
+        argv += ["--bloom"]
     out = subprocess.run(
         argv,
         capture_output=True,
@@ -260,11 +270,13 @@ def _sha_burn(_n):
 
 def _cpu_parallel_ceiling() -> dict:
     """Measure this HOST's parallel-compute ceiling: per-core sha256
-    throughput at 8 vs 32 processes.  On this VM all-cores-busy clocks
-    ~20-25% lower than 8-cores-busy (and absolute speed drifts over
-    time) — an engine-independent hardware bound that caps ANY 8->32
-    scaling measurement.  Reported alongside the raw efficiency so the
-    engine's own scaling is separable from the substrate's."""
+    throughput at 2 vs 8 concurrent processes — the same core counts
+    the scaling legs use (local[2] vs local[8]).  Per-core speed at 8
+    busy cores runs a few percent below 2 busy cores on this VM (and
+    absolute speed drifts over time) — an engine-independent hardware
+    bound on any 2->8 scaling measurement.  Reported alongside the raw
+    efficiency so the engine's own scaling is separable from the
+    substrate's."""
     import multiprocessing as mp
 
     rates = {}
@@ -279,12 +291,19 @@ def _cpu_parallel_ceiling() -> dict:
     }
 
 
-def scaling_bench() -> dict:
+def scaling_bench(budget_s: float = 1500.0) -> dict:
     """The north_rule two-parallelism-level evidence: the identical
     compute-dominated crawl at local[2] (N) vs local[8] (4N cores),
-    INTERLEAVED twice (this VM's absolute speed drifts over minutes, so
-    adjacent pairs are the comparable ones; best-of-2 damps slow
-    windows), plus the host's measured parallel-compute ceiling.
+    INTERLEAVED (this VM's absolute speed drifts over minutes, so
+    adjacent pairs are the comparable ones; best-of-up-to-2 pairs damps
+    slow windows; pair 2 is skipped once ``budget_s`` is spent), plus
+    the host's measured parallel-compute ceiling.
+
+    The scale legs run with the Bloom seen-layer ENABLED (the at-load
+    evidence the layer previously lacked); one additional bloom-off
+    local[8] leg, adjacent to a bloom-on one, proves the admitted-set
+    digest is identical with blooms on/off and gives the throughput
+    delta.
 
     Why these widths: single-JVM local[] is the sanctioned parallelism
     proxy (multi-JVM local-cluster on ONE host measurably inflates
@@ -296,6 +315,7 @@ def scaling_bench() -> dict:
     would dominate any 8->32 measurement (BASELINE.md round-2)."""
     import subprocess
 
+    t_start = time.monotonic()
     corpus_dir = tempfile.mkdtemp(
         prefix="bench_scale_corpus_",
         dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
@@ -308,13 +328,23 @@ def scaling_bench() -> dict:
         )
         pairs = []
         runs = []
+        bloom_off = None
         for _round in range(2):
             lo = _crawl_bench_subprocess("local[2]", 2, scale=True,
-                                         corpus_path=cpath)
+                                         corpus_path=cpath, bloom=True)
             hi = _crawl_bench_subprocess("local[8]", 8, scale=True,
-                                         corpus_path=cpath)
+                                         corpus_path=cpath, bloom=True)
             runs += [lo, hi]
             pairs.append((lo, hi))
+            if bloom_off is None:
+                # digest + throughput A/B right next to a bloom-on
+                # local[8] leg (adjacency keeps the comparison inside
+                # one drift window)
+                bloom_off = _crawl_bench_subprocess(
+                    "local[8]", 8, scale=True, corpus_path=cpath, bloom=False
+                )
+            if time.monotonic() - t_start > budget_s:
+                break
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
     best = max(
@@ -325,7 +355,11 @@ def scaling_bench() -> dict:
     eff = (hi["fetched_urls_per_sec"] / lo["fetched_urls_per_sec"]) / 4.0
     cal = _cpu_parallel_ceiling()
     return {
-        "protocol": "interleaved local[2]/local[8] x2, best adjacent pair",
+        "protocol": (
+            "interleaved local[2]/local[8] (bloom on), best adjacent pair; "
+            "one bloom-off local[8] leg for the digest A/B"
+        ),
+        "pairs_run": len(pairs),
         "runs": runs,
         "n_cores_2": lo,
         "n_cores_8": hi,
@@ -337,6 +371,13 @@ def scaling_bench() -> dict:
         "schedule_digest_match": all(
             r["schedule_digest"] == runs[0]["schedule_digest"] for r in runs
         ),
+        "bloom_ab": {
+            "on_fetched_urls_per_sec": runs[1]["fetched_urls_per_sec"],
+            "off_fetched_urls_per_sec": bloom_off["fetched_urls_per_sec"],
+            "digest_match_on_vs_off": (
+                bloom_off["schedule_digest"] == runs[0]["schedule_digest"]
+            ),
+        },
     }
 
 
@@ -345,11 +386,16 @@ def main() -> None:
     # accordingly (must be set before the first session starts)
     os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
     if len(sys.argv) >= 4 and sys.argv[1] == "--crawl-leg":
-        scale = len(sys.argv) > 4 and sys.argv[4] == "--scale"
-        cpath = sys.argv[5] if scale and len(sys.argv) > 5 and sys.argv[5] else None
+        rest = sys.argv[4:]
+        scale = "--scale" in rest
+        bloom = "--bloom" in rest
+        cpath = None
+        if scale:
+            v = rest[rest.index("--scale") + 1] if len(rest) > rest.index("--scale") + 1 else ""
+            cpath = v if v and not v.startswith("--") else None
         print(json.dumps(
             crawl_bench(sys.argv[2], int(sys.argv[3]), scale=scale,
-                        corpus_path=cpath)
+                        corpus_path=cpath, bloom=bloom)
         ))
         return
     if len(sys.argv) == 3 and sys.argv[1] == "--gen-corpus":
@@ -371,8 +417,12 @@ def main() -> None:
         "crawl": crawl,
     }
 
-    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
-        result["scaling"] = scaling_bench()
+    # scaling evidence is part of the DEFAULT artifact (round-2 verdict:
+    # the claim must be machine-checkable from BENCH_r{N}.json)
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        result["scaling"] = scaling_bench(
+            float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_S", "1500"))
+        )
 
     print(json.dumps(result))
 

@@ -260,6 +260,11 @@ def run_epoch(
         obs_fetch = None
         ok_now = None
         retry_rows = dead = None
+    if cfg.stage_timing and fetched is not None:
+        # timed barrier: materialize the fetched cache INSIDE the
+        # downloader window so the stamped duration is execution time
+        # (schedule + fetch), not lazy-plan construction time
+        fetched.count()
     res.durations_ms["downloader"] = int((time.monotonic() - t0) * 1000)
 
     # ---- spider stage: parse (with pending from suspended epochs) ----
@@ -334,6 +339,17 @@ def run_epoch(
         ).persist(StorageLevel.MEMORY_AND_DISK)
     else:
         admitted = None
+    stage_items_cache = None
+    if cfg.stage_timing:
+        # timed barrier: parse + canonicalize + dedup execute here
+        # (fetched reads back from its stage-1 cache)
+        if admitted is not None:
+            admitted.count()
+        elif items is not None:
+            items = stage_items_cache = items.persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            items.count()
     res.durations_ms["spider"] = int((time.monotonic() - t0) * 1000)
 
     # ---- item-processor stage ----
@@ -515,6 +531,10 @@ def run_epoch(
                     F.lit(None).cast("map<string,string>").alias("options"),
                     F.lit(epoch).cast("int").alias("epoch"),
                 )
+        if cfg.stage_timing and results is None:
+            # timed barrier (no per-item ack counted above): the items
+            # cache materializes inside the item-processor window
+            items_all.count()
         obs_items = Observation()
         deferred_writes.append(
             ("items", ok_items.observe(obs_items, F.count(F.lit(1)).alias("n")))
@@ -667,4 +687,6 @@ def run_epoch(
         fetched.unpersist()
     if failed_items is not None:
         failed_items.unpersist()
+    if stage_items_cache is not None:
+        stage_items_cache.unpersist()
     return res

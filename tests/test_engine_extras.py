@@ -460,3 +460,69 @@ def test_encode_query_options():
         encode_query("http://x.io/p?k=v", {"q:name": "a b"})
         == "http://x.io/p?k=v&name=a+b"
     )
+
+
+def test_stage_timing_attributes_execution_to_downloader(
+    spark, tmp_path, corpus
+):
+    """With cfg.stage_timing, per-stage durations are EXECUTION time:
+    at a fetch-dominated shape (a fetcher that sleeps 3s) the
+    downloader row carries the fetch wall time and the three stage
+    durations account for most of the epoch row — the reference's
+    per-component tps (lib/spider_man.ex:285-305) becomes meaningful."""
+    from spider_man_spark.sources.fetch import stub_fetch
+
+    def slow_fetcher(scheduled):
+        fetched = stub_fetch(scheduled, corpus)
+        schema = fetched.schema
+
+        def _slow(it):
+            import time as _t
+
+            _t.sleep(3.0)
+            yield from it
+
+        return fetched.repartition(1).mapInPandas(_slow, schema)
+
+    cfg = CrawlConfig(
+        workdir=str(tmp_path / "wd"), tokens_per_epoch=20, max_epochs=3,
+        stage_timing=True,
+    )
+    job = CrawlJob(spark, cfg, corpus=corpus, fetcher=slow_fetcher)
+    job.insert_requests(["http://h0.test/p/0", "http://h1.test/p/0"])
+    r = job.step()
+    d = r.durations_ms
+    assert d["downloader"] >= 2900  # the sleep landed in the fetch stage
+    stages = d["downloader"] + d["spider"] + d["item_processor"]
+    assert stages <= d["epoch"]
+    # fetch dominates: the stage rows account for most of the epoch
+    assert d["downloader"] >= 0.5 * d["epoch"]
+    assert stages >= 0.6 * d["epoch"]
+
+
+def test_stage_timing_off_underattributes_lazily(spark, tmp_path, corpus):
+    """Without stage_timing the same slow fetch lands OUTSIDE the
+    downloader window (lazy evaluation defers it to the epoch-end
+    writes) — documents why the flag exists."""
+    from spider_man_spark.sources.fetch import stub_fetch
+
+    def slow_fetcher(scheduled):
+        fetched = stub_fetch(scheduled, corpus)
+        schema = fetched.schema
+
+        def _slow(it):
+            import time as _t
+
+            _t.sleep(3.0)
+            yield from it
+
+        return fetched.repartition(1).mapInPandas(_slow, schema)
+
+    cfg = CrawlConfig(
+        workdir=str(tmp_path / "wd"), tokens_per_epoch=20, max_epochs=3,
+    )
+    job = CrawlJob(spark, cfg, corpus=corpus, fetcher=slow_fetcher)
+    job.insert_requests(["http://h0.test/p/0", "http://h1.test/p/0"])
+    r = job.step()
+    assert r.durations_ms["epoch"] >= 3000  # the work still happened
+    assert r.durations_ms["downloader"] < 2900  # ... but not in-window
