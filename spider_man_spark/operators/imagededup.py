@@ -1,0 +1,134 @@
+"""Image near-duplicate detection over 64-bit perceptual hashes.
+
+The reference stores fetched images verbatim (SaveToFile,
+lib/spider_man/pipeline/save_to_file.ex:32-49) and leaves dedup to the
+consumer; a training-data pipeline over the same payloads needs it
+first-class.  The rebuild's items table already carries a ``phash``
+column (computed once, inside the crawl's Arrow-batched decode pass —
+sources/parse.py), so image dedup is a *sketch-column* problem, the
+same shape as SimHash text dedup:
+
+  banded candidate generation (pigeonhole-exact: any pair within
+  ``chunks - 1`` Hamming bits shares at least one identical chunk)
+  -> equi-join per (chunk_idx, chunk_value) bucket
+  -> exact Hamming verify on the full 64 bits.
+
+Never all-pairs: the only joins are bucket equi-joins, so the plan
+survives 10^10 images the same way the MinHash/SimHash paths survive
+10^10 documents.  ``max_bucket`` drops degenerate buckets (e.g. the
+all-black-thumbnail phash) the way the LSH paths do; at the default
+none are dropped and the result is exactly brute force (pytest-proven
+equivalence in tests/test_imagededup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spider_man_spark.functions.sketches import hamming64, simhash_chunks
+
+_CHUNK_CHOICES = (2, 4, 8, 16, 32)
+
+
+def _chunks_for(max_hamming: int) -> int:
+    """Smallest 64-divisor band count that keeps banding exact
+    (chunks > max_hamming => complete recall by pigeonhole)."""
+    for c in _CHUNK_CHOICES:
+        if c > max_hamming:
+            return c
+    raise ValueError(f"max_hamming {max_hamming} too large for 64-bit banding")
+
+
+def hamming_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    sketch_col: str,
+    *,
+    max_hamming: int = 3,
+    chunks: int | None = None,
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b, hamming) over any int64 sketch
+    column — phash, SimHash, sign-sketch — via banded bucket joins.
+
+    With the default ``chunks`` (smallest 64-divisor > max_hamming)
+    and no bucket overflow, the result equals the O(N^2) brute-force
+    pair scan exactly; only the *algorithm* is scale-shaped.
+    """
+    chunks = chunks or _chunks_for(max_hamming)
+    if 64 % chunks or chunks <= max_hamming:
+        raise ValueError(
+            f"chunks={chunks} must divide 64 and exceed max_hamming={max_hamming}"
+        )
+    sk = df.select(
+        F.col(id_col).alias("id"), F.col(sketch_col).cast("long").alias("sk")
+    ).filter(F.col("sk").isNotNull())
+    banded = sk.select(
+        "id", "sk", F.posexplode(simhash_chunks(F.col("sk"), chunks)).alias("ci", "chunk")
+    )
+    sizes = banded.groupBy("ci", "chunk").agg(F.count("*").alias("__n"))
+    banded = banded.join(
+        sizes.filter(F.col("__n") <= max_bucket).select("ci", "chunk"),
+        ["ci", "chunk"],
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["ci", "chunk"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.sk"), F.col("b.sk")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def phash_neardup_pairs(
+    items: DataFrame, *, max_hamming: int = 3, max_bucket: int = 100_000
+) -> DataFrame:
+    """Perceptual near-dup image pairs over an items-like DataFrame
+    (``image_id``, ``phash``) — the input_hint table shape.  Returns
+    (id_a, id_b, hamming) with id_a < id_b."""
+    return hamming_neardup_pairs(
+        items, "image_id", "phash", max_hamming=max_hamming, max_bucket=max_bucket
+    )
+
+
+def exact_dup_images(items: DataFrame) -> DataFrame:
+    """Byte-identical duplicate groups: (content_key, n_copies, keep_id)
+    keeping the lexicographically-first image_id per group — the exact
+    tier that runs before any perceptual pass (identical bytes never
+    need a Hamming verify).  One hash-aggregate, map-side combined."""
+    return (
+        items.select("image_id", F.xxhash64("bytes").alias("content_key"))
+        .groupBy("content_key")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("image_id").alias("keep_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def brute_force_hamming_pairs(
+    df: DataFrame, id_col: str, sketch_col: str, *, max_hamming: int = 3
+) -> DataFrame:
+    """O(N^2) cross-join oracle for :func:`hamming_neardup_pairs` —
+    tests/small-N only (the banded path is the production shape)."""
+    sk = df.select(
+        F.col(id_col).alias("id"), F.col(sketch_col).cast("long").alias("sk")
+    ).filter(F.col("sk").isNotNull())
+    a, b = sk.alias("a"), sk.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.sk"), F.col("b.sk")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

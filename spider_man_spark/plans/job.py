@@ -385,6 +385,15 @@ class CrawlJob:
     def items(self) -> DataFrame:
         return self.store.read_deltas("items", self.store.last_epoch(), ITEMS_SCHEMA)
 
+    def image_neardups(self, max_hamming: int = 3) -> DataFrame:
+        """Perceptual near-dup pairs over the stored image items
+        (banded-Hamming join on the phash column the crawl's decode
+        pass already computed) — the crawl -> image-training-data
+        dedup bridge."""
+        from spider_man_spark.operators.imagededup import phash_neardup_pairs
+
+        return phash_neardup_pairs(self.items(), max_hamming=max_hamming)
+
     def page_features(self) -> DataFrame:
         from spider_man_spark.schemas import PAGE_FEATURES_SCHEMA
 

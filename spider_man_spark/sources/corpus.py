@@ -246,3 +246,79 @@ def expected_image_phash(host_idx: int, img_idx: int, seed: int = 42) -> int:
     iid = image_id_of(host_idx, img_idx)
     px = make_image(iid, 32 + 8 * (img_idx % 4), 32 + 8 * (host_idx % 3), seed)
     return phash64(px)
+
+
+# ---------------------------------------------------------------------------
+# Standalone image+caption table (the input_hint shape)
+# ---------------------------------------------------------------------------
+
+IMAGE_TABLE_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long"
+)
+
+_IMG_DUP_PERIOD = 10  # per 10 images: 8 unique, 1 exact dup, 1 near dup
+
+
+def make_image_table(
+    spark: SparkSession,
+    n_images: int,
+    *,
+    size: int = 64,
+    seed: int = 42,
+    fmts: tuple[str, ...] = ("png", "qimg"),
+) -> DataFrame:
+    """Deterministic image+caption table with exactly the input_hint
+    columns ``(image_id, bytes, w, h, fmt, caption, phash)``.
+
+    Generated DISTRIBUTED (mapInPandas over a range; pixels are
+    crc32-seeded so executor placement can't change them).  Every
+    group of 10 consecutive ids plants one EXACT duplicate (slot 8:
+    byte-identical to slot 0, shared caption) and one NEAR duplicate
+    (slot 9: slot 0's pixels with a +6 bump to the top-left 8x8-grid
+    cell — moves one phash block mean, so Hamming(phash) stays small
+    but nonzero in general) — ground truth for the exact and
+    perceptual dedup tiers.  ``phash`` is computed from the encode ->
+    decode round trip, so it is definitionally the value
+    :func:`spider_man_spark.functions.images.decode_items` reproduces
+    (for lossy ``qimg`` that means post-quantization pixels).
+    """
+    from spider_man_spark.functions.images import decode_image
+
+    def _gen(batches):
+        for pdf in batches:
+            rows = []
+            for gid in pdf["id"].values:
+                i = int(gid)
+                slot = i % _IMG_DUP_PERIOD
+                base = i - slot if slot >= 8 else i
+                iid = f"img{i:09d}"
+                fmt = fmts[base % len(fmts)]
+                px = make_image(f"img{base:09d}", size, size, seed)
+                if slot == 9:
+                    px = px.copy()
+                    c = size // 8
+                    px[:c, :c] = (
+                        px[:c, :c].astype("int16") + 6
+                    ).clip(0, 255).astype("uint8")
+                enc = png_encode if fmt == "png" else qimg_encode
+                data = enc(px)
+                rows.append(
+                    {
+                        "image_id": iid,
+                        "bytes": data,
+                        "w": size,
+                        "h": size,
+                        "fmt": fmt,
+                        "caption": f"caption for image group {base:09d}",
+                        "phash": phash64(decode_image(data, fmt)),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    parallelism = max(spark.sparkContext.defaultParallelism, 1)
+    return (
+        spark.range(n_images)
+        .repartition(min(parallelism, max(n_images // 64, 1)))
+        .mapInPandas(_gen, schema=IMAGE_TABLE_SCHEMA)
+    )
