@@ -27,6 +27,10 @@ Env:
                        decode+phash-verify scan throughput and
                        perceptual/exact dedup over an
                        input_hint-shaped image+caption table).
+  SPARK_GRAFT_SUSTAIN  "1" -> add the 12-epoch long-crawl flatness leg
+                       (per-epoch latency vs growing seen set, live
+                       compaction; off by default — BASELINE.md
+                       records the measured series).
 """
 
 from __future__ import annotations
@@ -339,7 +343,6 @@ def scaling_bench(budget_s: float = 1500.0) -> dict:
         )
         pairs = []
         runs = []
-        bloom_on = None
         for _round in range(2):
             lo = _crawl_bench_subprocess("local[2]", 2, scale=True,
                                          corpus_path=cpath)
@@ -347,15 +350,14 @@ def scaling_bench(budget_s: float = 1500.0) -> dict:
                                          corpus_path=cpath)
             runs += [lo, hi]
             pairs.append((lo, hi))
-            if bloom_on is None:
-                # bloom at-load A/B right next to a bloom-off local[8]
-                # leg (adjacency keeps the comparison inside one drift
-                # window)
-                bloom_on = _crawl_bench_subprocess(
-                    "local[8]", 8, scale=True, corpus_path=cpath, bloom=True
-                )
             if time.monotonic() - t_start > budget_s:
                 break
+        # bloom at-load A/B LAST (the efficiency pairs get the budget
+        # first), immediately after a bloom-off local[8] leg so the
+        # comparison stays inside one drift window
+        bloom_on = _crawl_bench_subprocess(
+            "local[8]", 8, scale=True, corpus_path=cpath, bloom=True
+        )
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
     best = max(
@@ -384,9 +386,9 @@ def scaling_bench(budget_s: float = 1500.0) -> dict:
         ),
         "bloom_ab": {
             "on_fetched_urls_per_sec": bloom_on["fetched_urls_per_sec"],
-            "off_fetched_urls_per_sec": runs[1]["fetched_urls_per_sec"],
+            "off_fetched_urls_per_sec": runs[-1]["fetched_urls_per_sec"],
             "overhead_factor_at_this_sf": round(
-                runs[1]["fetched_urls_per_sec"]
+                runs[-1]["fetched_urls_per_sec"]
                 / bloom_on["fetched_urls_per_sec"],
                 2,
             ),
@@ -395,6 +397,79 @@ def scaling_bench(budget_s: float = 1500.0) -> dict:
             ),
         },
     }
+
+
+def sustain_bench(cores: int, epochs: int = 10) -> dict:
+    """Long-crawl flatness evidence: the light corpus crawled for
+    ``epochs`` epochs at a per-epoch budget sized so the frontier
+    never drains (every epoch schedules its full budget — equal work
+    per epoch), with aggressive state compaction (compact_every=4)
+    exercised mid-run.  The claim under test: per-epoch wall time does
+    NOT grow with the accumulated seen set / state history — i.e. no
+    O(total-crawled) work hides on the per-epoch critical path (the
+    10^10 posture: a crawl is a long-running job, not 3 epochs).
+
+    Reports the full per-epoch latency + scheduled-count series plus
+    the last3/first3 latency ratio (epoch 1 is excluded from first3 —
+    it pays one-time cache warmup); the ratio is only meaningful
+    because the scheduled counts are equal across epochs (also
+    reported, so the artifact shows it)."""
+    from spider_man_spark.config import CrawlConfig
+    from spider_man_spark.plans.job import CrawlJob
+    from spider_man_spark.session import get_spark
+    from spider_man_spark.sources.corpus import make_corpus
+
+    spark = get_spark(
+        f"bench-sustain-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=64,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = make_corpus(spark, **CRAWL).repartition(64, "url").cache()
+    corpus.count()
+    wd = tempfile.mkdtemp(prefix="bench_sustain_")
+    try:
+        job = CrawlJob(
+            spark,
+            CrawlConfig(
+                workdir=wd, tokens_per_epoch=1000,
+                max_epochs=epochs + 1, rank_salts=8, compact_every=4,
+            ),
+            corpus=corpus,
+        )
+        job.insert_requests_df(
+            _seed_df(spark, CRAWL["n_hosts"], CRAWL_SEEDS_PER_HOST)
+        )
+        spark.range(256).repartition(128).mapInPandas(
+            lambda it: it, schema="id long"
+        ).count()
+        fetched = 0
+        epoch_ms = []
+        epoch_sched = []
+        t0 = time.monotonic()
+        for _ in range(epochs):
+            r = job.step()
+            fetched += r.scheduled
+            epoch_ms.append(r.durations_ms["epoch"])
+            epoch_sched.append(r.scheduled)
+        wall = time.monotonic() - t0
+        first3 = sum(epoch_ms[1:4]) / 3.0
+        last3 = sum(epoch_ms[-3:]) / 3.0
+        return {
+            "cores": cores,
+            "epochs": epochs,
+            "fetched": fetched,
+            "wall_sec": round(wall, 3),
+            "epoch_ms": epoch_ms,
+            "epoch_scheduled": epoch_sched,
+            "equal_work": len(set(epoch_sched)) == 1,
+            "first3_avg_ms": int(first3),
+            "last3_avg_ms": int(last3),
+            "last3_over_first3": round(last3 / first3, 3),
+            "seen_rows": job.store.read_deltas("seen", epochs).count(),
+        }
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+        spark.stop()
 
 
 IMAGE_BENCH_N = 200_000  # input_hint-shaped rows; ~12 KB decoded pixels each
@@ -504,6 +579,9 @@ def main() -> None:
     if len(sys.argv) == 3 and sys.argv[1] == "--image-leg":
         print(json.dumps(image_bench(int(sys.argv[2]))))
         return
+    if len(sys.argv) == 3 and sys.argv[1] == "--sustain-leg":
+        print(json.dumps(sustain_bench(int(sys.argv[2]))))
+        return
     if len(sys.argv) >= 4 and sys.argv[1] == "--crawl-leg":
         rest = sys.argv[4:]
         scale = "--scale" in rest
@@ -540,6 +618,18 @@ def main() -> None:
     # over an input_hint-shaped table (off with SPARK_GRAFT_IMAGES=0)
     if os.environ.get("SPARK_GRAFT_IMAGES", "1") != "0":
         result["image"] = _image_bench_subprocess(cpus)
+
+    # sustained long-crawl flatness leg (OFF by default — adds ~4 min;
+    # numbers recorded in BASELINE.md round-3)
+    if os.environ.get("SPARK_GRAFT_SUSTAIN") == "1":
+        import subprocess
+
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--sustain-leg",
+             str(cpus)],
+            capture_output=True, text=True, check=True, env={**os.environ},
+        )
+        result["sustain"] = json.loads(out.stdout.strip().splitlines()[-1])
 
     # scaling evidence is part of the DEFAULT artifact (round-2 verdict:
     # the claim must be machine-checkable from BENCH_r{N}.json)
