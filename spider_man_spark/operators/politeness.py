@@ -133,19 +133,33 @@ def rank_split_per_host(
     df: DataFrame,
     tokens_default: int = DEFAULT_TOKENS_PER_EPOCH,
     rank_salts: int = 8,
+    caches: list[DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(picked, losers): the two-phase top-``tokens`` with the
     non-picked rows returned as a side output instead of requiring the
     caller to anti-join them back out (saves a full-frontier shuffle
     per epoch).  losers = phase-1 losers (rank > tokens within their
     (host, salt) group) ∪ phase-2 losers (≤ tokens x (salts-1) rows
-    per host)."""
+    per host).
+
+    ``caches``: when given, the phase-1 ranked frontier (the expensive
+    full-frontier window both outputs branch from) is persisted and
+    appended for the caller to unpersist at epoch end — otherwise the
+    picked branch materializes during the fetch while the losers
+    branch RERUNS the whole rank at the frontier write (measured 5-16 s
+    per epoch at the bench shapes, the single largest epoch fixed
+    cost)."""
     tokens = F.coalesce(F.col("tokens_per_epoch"), F.lit(tokens_default))
     salted = df.withColumn(
         "__salt", F.pmod(F.xxhash64("url_key"), F.lit(rank_salts))
     )
     w1 = Window.partitionBy("host", "__salt").orderBy(*order_cols())
     ranked1 = salted.withColumn("__r1", F.row_number().over(w1))
+    if caches is not None:
+        from pyspark import StorageLevel
+
+        ranked1 = ranked1.persist(StorageLevel.MEMORY_AND_DISK)
+        caches.append(ranked1)
     losers1 = ranked1.filter(F.col("__r1") > tokens).drop("__r1", "__salt")
     survivors = ranked1.filter(F.col("__r1") <= tokens).drop("__r1", "__salt")
     w2 = Window.partitionBy("host").orderBy(*order_cols())
@@ -193,6 +207,7 @@ def schedule_epoch(
     tokens_default: int = DEFAULT_TOKENS_PER_EPOCH,
     rank_salts: int = 8,
     max_per_epoch: int = 0,
+    caches: list[DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(scheduled, deferred, disallowed) for one epoch.
 
@@ -212,7 +227,9 @@ def schedule_epoch(
     ]
     enriched = join_robots(frontier, robots)
     eligible, delayed, disallowed = robots_filter(enriched, epoch_ts)
-    picked, losers = rank_split_per_host(eligible, tokens_default, rank_salts)
+    picked, losers = rank_split_per_host(
+        eligible, tokens_default, rank_salts, caches=caches
+    )
     if max_per_epoch > 0:
         picked, over_cap = global_cap(picked.drop("host_rank"), max_per_epoch)
         losers = losers.unionByName(over_cap)

@@ -132,6 +132,7 @@ def run_epoch(
     # robots carried disallow rules as of the last commit (observed on
     # the robots write, so a clean crawl pays zero per-epoch cost here)
     has_disallow = bool(store.manifest().get("has_disallow", True))
+    sched_caches: list[DataFrame] = []
     if "downloader" in suspended:
         scheduled = spark.createDataFrame([], FRONTIER_SCHEMA)
         deferred = frontier
@@ -143,6 +144,12 @@ def run_epoch(
             tokens_default=cfg.tokens_per_epoch,
             rank_salts=cfg.rank_salts,
             max_per_epoch=cfg.max_per_epoch,
+            # the ranked frontier is persisted and reused by BOTH the
+            # scheduled branch (materializes during fetch) and the
+            # rank-losers branch of the frontier write — without it the
+            # write reruns the full-frontier rank (the largest epoch
+            # fixed cost, measured 5-16 s at the bench shapes)
+            caches=sched_caches,
         )
         if not has_disallow:
             disallowed = None
@@ -689,4 +696,6 @@ def run_epoch(
         failed_items.unpersist()
     if stage_items_cache is not None:
         stage_items_cache.unpersist()
+    for c in sched_caches:
+        c.unpersist()
     return res
