@@ -81,7 +81,7 @@ SCALE_CRAWL = dict(n_hosts=64, pages_per_host=20000, out_degree=8,
 SCALE_TOKENS = 16000
 SCALE_EPOCHS = 3
 SCALE_SEEDS_PER_HOST = 20000
-SCALE_SHUFFLE_PARTITIONS = 128  # fixed on BOTH legs: identical plans
+SCALE_SHUFFLE_PARTITIONS = 64  # fixed on BOTH legs: identical plans; A/B round 3: 64 beats 128 by ~25% at local[8] (8 waves vs 16 per stage), neutral at local[2] -- and beats 32 on the 4N side
 
 
 def _seed_df(spark, n_hosts: int, seeds_per_host: int):
