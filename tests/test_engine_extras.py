@@ -526,3 +526,28 @@ def test_stage_timing_off_underattributes_lazily(spark, tmp_path, corpus):
     r = job.step()
     assert r.durations_ms["epoch"] >= 3000  # the work still happened
     assert r.durations_ms["downloader"] < 2900  # ... but not in-window
+
+
+def test_epoch_releases_all_caches(spark, tmp_path, corpus):
+    """Every epoch persists several intermediates (scheduled, fetched,
+    ranked frontier, admitted, ...) — all must be released at epoch
+    end or a 1000-epoch crawl leaks executor memory.  The cached-RDD
+    count must not grow epoch over epoch (the corpus fixture's own
+    cache is the allowed steady state)."""
+    from spider_man_spark.config import CrawlConfig
+    from spider_man_spark.plans.job import CrawlJob
+
+    def cached_rdds():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    cfg = CrawlConfig(workdir=str(tmp_path / "wd"), tokens_per_epoch=50,
+                      max_epochs=6)
+    job = CrawlJob(spark, cfg, corpus=corpus)
+    job.insert_requests(["http://h0.test/p/0", "http://h1.test/p/0"])
+    job.step()
+    baseline = cached_rdds()
+    counts = []
+    for _ in range(3):
+        job.step()
+        counts.append(cached_rdds())
+    assert all(c <= baseline for c in counts), (baseline, counts)
