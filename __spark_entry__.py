@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -367,13 +368,43 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    # Boundary guard (see _ann_lsh_oracle_sql docstring): if any
+    # |dot(v, plane)| sits within float summation-order error of the
+    # sign boundary, the bucket bit could differ between Spark and
+    # DuckDB — fail loudly instead of hash-red silently.
+    from spider_man_spark.operators.similarity import _dot_lit, random_planes
+
+    planes = random_planes(len(qvec))
+    min_absdot = F.least(
+        *[
+            F.abs(_dot_lit(F.col("embedding"), list(p)))
+            / float(np.linalg.norm(p))
+            for p in planes
+        ]
+    )
+    boundary = emb.agg(F.min(min_absdot).alias("m")).first().m
+    if boundary is not None and boundary < 1e-9:
+        raise RuntimeError(
+            f"ann_lsh_topk: a |dot| ({boundary:.3e}) is within float "
+            "error of the sign boundary; Spark/DuckDB bucket bits may "
+            "diverge on this testdata — gate aborted diagnosably"
+        )
     return ann_topk_lsh(emb, qvec, k=10, probe_hamming=2)
 
 
 def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 12) -> str:
     """DuckDB mirror of q_ann_lsh_topk: the seeded planes are embedded
     as literal DOUBLE[] lists (repr() round-trips exactly), bucket bit i
-    = sign(list_dot_product(v, plane_i)), multi-probe Hamming <= 2."""
+    = sign(list_dot_product(v, plane_i)), multi-probe Hamming <= 2.
+
+    ASSUMPTION: sign(dot) agrees bit-for-bit between Spark's
+    literal-chain summation and DuckDB's list_dot_product.  A |dot|
+    within float summation-order error of 0 could flip a bucket bit
+    between engines and break the exact gate nondeterministically on a
+    testdata refresh.  queries()['ann_lsh_topk'] therefore asserts at
+    build time that no |dot| over the corpus falls below 1e-9 of the
+    plane norm; if one ever does, it raises so the gate reads as an
+    explicit error (diagnosable) instead of a silent hash-red."""
     from spider_man_spark.operators.similarity import random_planes
 
     planes = random_planes(dim, n_planes=n_planes)
@@ -821,7 +852,8 @@ def oracle_sql() -> dict[str, str]:
                        count(*) AS total,
                        CAST(sum(CASE WHEN value > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
                            AS success,
-                       sum(CAST(floor(value * 1000) AS BIGINT)) AS duration_ms
+                       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+                           AS duration_ms
                 FROM events GROUP BY event_type
             ) ORDER BY event_type
         """,

@@ -27,7 +27,7 @@ Env:
                        decode+phash-verify scan throughput and
                        perceptual/exact dedup over an
                        input_hint-shaped image+caption table).
-  SPARK_GRAFT_SUSTAIN  "1" -> add the 12-epoch long-crawl flatness leg
+  SPARK_GRAFT_SUSTAIN  "1" -> add the 10-epoch long-crawl flatness leg
                        (per-epoch latency vs growing seen set, live
                        compaction; off by default — BASELINE.md
                        records the measured series).
@@ -641,7 +641,61 @@ def main() -> None:
             float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_S", "1500"))
         )
 
-    print(json.dumps(result))
+    # Full nested detail goes to a file; stdout's FINAL line stays
+    # compact so the driver's tail buffer can always parse it
+    # (round-3 lesson: the all-in-one line outgrew the buffer and
+    # BENCH_r03.json recorded "parsed": null).
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_full.json")
+    with open(full_path, "w") as f:
+        json.dump(result, f, indent=1)
+
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "crawl": {
+            k: crawl[k]
+            for k in ("fetched", "epochs", "wall_sec",
+                      "fetched_urls_per_sec", "epoch_latency_ms",
+                      "schedule_digest")
+            if k in crawl
+        },
+        "full_detail": "BENCH_full.json",
+    }
+    if "image" in result:
+        im = result["image"]
+        compact["image"] = {
+            k: im[k]
+            for k in ("n_images", "images_per_sec", "decoded_mb_per_sec",
+                      "neardup_pairs", "exact_dup_groups")
+            if k in im
+        }
+    if "sustain" in result:
+        su = result["sustain"]
+        compact["sustain"] = {
+            k: su[k]
+            for k in ("epochs", "last3_over_first3", "last3_avg_ms")
+            if k in su
+        }
+    if "scaling" in result:
+        sc = result["scaling"]
+        compact["scaling"] = {
+            k: sc[k]
+            for k in ("efficiency_N_to_4N", "efficiency_normalized_to_hw",
+                      "schedule_digest_match")
+            if k in sc
+        }
+        if isinstance(sc.get("bloom_ab"), dict):
+            compact["scaling"]["bloom_overhead_factor"] = sc["bloom_ab"].get(
+                "overhead_factor_at_this_sf"
+            )
+            compact["scaling"]["bloom_digest_match"] = sc["bloom_ab"].get(
+                "digest_match_on_vs_off"
+            )
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -82,6 +82,25 @@ def main() -> None:
             failures += 1
             continue
         g, w = normalize(got), normalize(want)
+        # The driver's value hash is dtype-sensitive: an int64 Spark column
+        # vs a float64 oracle column hashes differently even when every
+        # value is numerically equal (the live metrics_tps failure — DuckDB
+        # sum(BIGINT) -> HUGEINT -> pandas float64).  Surface that locally.
+        dtype_mismatch = [
+            c for c in g.columns
+            if (str(g[c].dtype).startswith("int"))
+            != (str(w[c].dtype).startswith("int"))
+        ]
+        if dtype_mismatch:
+            print(
+                f"FAIL  {name}: int/float dtype divergence on "
+                f"{dtype_mismatch} "
+                f"(spark={[str(g[c].dtype) for c in dtype_mismatch]}, "
+                f"oracle={[str(w[c].dtype) for c in dtype_mismatch]}) — "
+                f"driver hash would mismatch"
+            )
+            failures += 1
+            continue
         try:
             # Integer/string columns compare EXACTLY — the driver hashes raw
             # values, and a tolerant rtol here hid a +-30 duration_ms integer
