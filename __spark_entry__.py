@@ -539,6 +539,51 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_politeness_rank(spark, "/root/testdata/sf0.001")
 
 
+# Deterministic planted-dup phash derivation shared by the Spark gate
+# query and its DuckDB oracle (both dialects compute it with exact
+# int64 arithmetic): docs < 400 fall into 40 groups of 10; each group
+# gets a multiplicative-scramble 40-bit base hash; every non-first
+# member flips one distinct bit, and every doc_id % 3 == 0 member
+# flips a second — so within-group Hamming distances span 1..4 and
+# the max_hamming=3 filter is genuinely exercised.
+_PHASH_EXPR_SPARK = (
+    "((doc_id % 40) * 2654435761L % 1099511627776L)"
+    " ^ (CASE WHEN doc_id >= 40"
+    "     THEN shiftleft(1L, CAST(doc_id % 37 AS INT)) ELSE 0L END)"
+    " ^ (CASE WHEN doc_id % 3 = 0"
+    "     THEN shiftleft(1L, CAST(doc_id * 7 % 29 AS INT)) ELSE 0L END)"
+)
+_PHASH_EXPR_DUCK = (
+    "xor(xor((doc_id % 40) * 2654435761 % 1099511627776,"
+    " CASE WHEN doc_id >= 40"
+    "  THEN (CAST(1 AS BIGINT) << CAST(doc_id % 37 AS INT)) ELSE 0 END),"
+    " CASE WHEN doc_id % 3 = 0"
+    "  THEN (CAST(1 AS BIGINT) << CAST(doc_id * 7 % 29 AS INT)) ELSE 0 END)"
+)
+
+
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs via the banded-Hamming bucket
+    join (operators/imagededup.hamming_neardup_pairs — the production
+    shape: never all-pairs) on a deterministic planted-dup phash table
+    derived from documents; the DuckDB oracle brute-forces
+    bit_count(xor) <= 3 over the identical derivation."""
+    from spider_man_spark.operators.imagededup import phash_neardup_pairs
+
+    imgs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .selectExpr(
+            "doc_id AS image_id", f"{_PHASH_EXPR_SPARK} AS phash"
+        )
+    )
+    return (
+        phash_neardup_pairs(imgs, max_hamming=3)
+        .withColumn("hamming", F.col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -566,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_cookies": q_session_cookies,
         "windowed_throughput": q_windowed_throughput,
         "metrics_tps": q_metrics_tps,
+        "phash_neardup": q_phash_neardup,
     }
 
 
@@ -856,5 +902,18 @@ def oracle_sql() -> dict[str, str]:
                            AS duration_ms
                 FROM events GROUP BY event_type
             ) ORDER BY event_type
+        """,
+        "phash_neardup": f"""
+            WITH t AS (
+                SELECT doc_id AS image_id,
+                       {_PHASH_EXPR_DUCK} AS phash
+                FROM documents WHERE doc_id < 400
+            )
+            SELECT a.image_id AS id_a, b.image_id AS id_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT)
+                       AS hamming
+            FROM t a JOIN t b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 3
+            ORDER BY id_a, id_b
         """,
     }
