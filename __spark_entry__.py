@@ -438,6 +438,60 @@ def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 12) -> str:
     """
 
 
+def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN (N queries x M corpus in one plan): multi-probe
+    bucket equi-join + per-query window top-k
+    (operators/similarity.ann_topk_lsh_batch).  Same seeded planes and
+    sign(dot) bit-agreement assumption as ann_lsh_topk (the boundary
+    guard there covers this gate's corpus too)."""
+    from spider_man_spark.operators.similarity import (
+        ann_topk_lsh_batch,
+        random_planes,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return ann_topk_lsh_batch(
+        queries, emb, k=5, planes=random_planes(64), probe_hamming=2
+    ).orderBy("qid", F.col("cosine").desc(), "vec_id")
+
+
+def _ann_batch_oracle_sql(dim: int = 64, n_planes: int = 12) -> str:
+    """DuckDB mirror of q_ann_batch_topk: same literal planes; the
+    multi-probe mask explosion collapses to bit_count(xor) <= h, and
+    per-query top-k is a QUALIFY window."""
+    from spider_man_spark.operators.similarity import random_planes
+
+    planes = random_planes(dim, n_planes=n_planes)
+
+    def lits(p) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    row_bits = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lits(p)}) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH bb AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                           CAST({row_bits} AS BIGINT) AS bucket
+                    FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv, bucket AS qbucket
+              FROM bb WHERE vec_id < 3)
+        SELECT q.qid, bb.vec_id,
+               round(list_cosine_similarity(bb.v, q.qv), 6) AS cosine
+        FROM q JOIN bb ON bit_count(xor(bb.bucket, q.qbucket)) <= 2
+        QUALIFY row_number() OVER (
+            PARTITION BY q.qid ORDER BY cosine DESC, bb.vec_id ASC
+        ) <= 5
+        ORDER BY qid, cosine DESC, vec_id
+    """
+
+
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (exact cosine >= threshold) vs DuckDB
     list_cosine_similarity — validates the cosine/pair machinery the
@@ -605,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_batch_topk": q_ann_batch_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "global_topk": q_global_topk,
         "embedding_centroids": q_embedding_centroids,
@@ -834,6 +889,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
+        "ann_batch_topk": _ann_batch_oracle_sql(),
         "embedding_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,

@@ -27,6 +27,13 @@ Env:
                        decode+phash-verify scan throughput and
                        perceptual/exact dedup over an
                        input_hint-shaped image+caption table).
+  SPARK_GRAFT_ANN      "0" -> skip the batch-ANN leg (10k queries x
+                       1M corpus multi-probe bucket join + recall
+                       subsample; default ON).
+  SPARK_GRAFT_FRONTIER "0" -> skip the frontier write-path legs
+                       (sharded O(churn) commits vs full snapshot
+                       rewrite at a 10x frontier-to-budget ratio;
+                       default ON, 3 short legs).
   SPARK_GRAFT_SUSTAIN  "1" -> add the 10-epoch long-crawl flatness leg
                        (per-epoch latency vs growing seen set, live
                        compaction; off by default — BASELINE.md
@@ -54,6 +61,7 @@ BENCH_QUERIES = [
     "simhash_dupes",
     "embedding_topk",
     "windowed_throughput",
+    "phash_neardup",
 ]
 
 # main crawl bench shape (round-1 comparable): 64 hosts (2 hot at 10x)
@@ -158,6 +166,11 @@ def crawl_bench(master: str, cores: int, scale: bool = False,
         corpus = make_corpus(spark, **shape).repartition(64, "url").cache()
         corpus.count()
     wd = tempfile.mkdtemp(prefix="bench_crawl_")
+    # A/B hook for the stage-timing barriers (default: CrawlConfig's)
+    cfg_kwargs = {}
+    st_env = os.environ.get("SPARK_GRAFT_STAGE_TIMING")
+    if st_env is not None:
+        cfg_kwargs["stage_timing"] = st_env != "0"
     try:
         job = CrawlJob(
             spark,
@@ -167,6 +180,7 @@ def crawl_bench(master: str, cores: int, scale: bool = False,
                 shuffle_partitions=SCALE_SHUFFLE_PARTITIONS if scale else None,
                 fetched_storage="DISK_ONLY" if scale else "MEMORY_AND_DISK",
                 bloom_enabled=bloom,
+                **cfg_kwargs,
             ),
             corpus=corpus,
         )
@@ -402,6 +416,197 @@ def scaling_bench(budget_s: float = 1500.0) -> dict:
     }
 
 
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def frontier_bench(
+    cores: int, mode: str, seeds_per_host: int,
+    epochs: int = 6, tokens: int = 1000,
+) -> dict:
+    """Frontier-at-10^10 write-path evidence: a standing frontier ~10x
+    the per-epoch budget (the bounded-budget long-crawl posture), with
+    per-epoch wall AND per-epoch frontier-dir bytes written recorded.
+
+    Claim under test: with merge-on-read delta commits
+    (cfg.frontier_mode='mor'; what 'auto' — the default — picks in
+    the large-frontier/low-churn regime) the frontier WRITE cost is
+    O(churn), not O(|frontier|) — the full-rewrite layout rewrites the
+    unscheduled majority verbatim every epoch, and the sharded layout
+    degenerates to full whenever every host-shard sees scheduling
+    activity (this exact shape — measured).  Legs in the default artifact: mor vs full at the big
+    frontier (I/O + wall + digest match) and mor at a 4x-smaller
+    frontier (write-side flatness vs |frontier|).  Honest note: the
+    per-epoch politeness rank still SCANS the full frontier
+    (scheduling needs global per-host order), so total wall is not
+    fully |frontier|-independent — the write side is."""
+    from spider_man_spark.config import CrawlConfig
+    from spider_man_spark.plans.job import CrawlJob
+    from spider_man_spark.session import get_spark
+    from spider_man_spark.sources.corpus import make_corpus
+
+    spark = get_spark(
+        f"bench-frontier-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=64,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = make_corpus(spark, **CRAWL).repartition(64, "url").cache()
+    corpus.count()
+    wd = tempfile.mkdtemp(prefix="bench_frontier_")
+    try:
+        job = CrawlJob(
+            spark,
+            CrawlConfig(
+                workdir=wd, tokens_per_epoch=tokens,
+                max_epochs=epochs + 2, rank_salts=8,
+                frontier_mode=mode,
+            ),
+            corpus=corpus,
+        )
+        job.insert_requests_df(
+            _seed_df(spark, CRAWL["n_hosts"], seeds_per_host)
+        )
+        spark.range(256).repartition(128).mapInPandas(
+            lambda it: it, schema="id long"
+        ).count()
+        fdir = os.path.join(wd, "frontier")
+        epoch_ms, write_mb, sizes, sched = [], [], [], []
+        for _ in range(epochs):
+            b0 = _dir_bytes(fdir)
+            r = job.step()
+            epoch_ms.append(r.durations_ms["epoch"])
+            write_mb.append(round((_dir_bytes(fdir) - b0) / 1e6, 2))
+            sizes.append(r.frontier_size)
+            sched.append(r.scheduled)
+        from pyspark.sql import functions as F
+
+        seen = job.store.read_deltas("seen", epochs)
+        total = seen.select(
+            F.sum(
+                F.xxhash64("epoch", "url_key").cast("decimal(38,0)")
+            ).alias("d")
+        ).first().d
+        steady = epoch_ms[1:]  # epoch 1 pays one-time cache warmup
+        return {
+            "mode": mode,
+            "seeds": CRAWL["n_hosts"] * seeds_per_host,
+            "tokens": tokens,
+            "epochs": epochs,
+            "epoch_ms": epoch_ms,
+            "steady_epoch_ms": int(sum(steady) / len(steady)),
+            "frontier_write_mb": write_mb,
+            "steady_write_mb": round(sum(write_mb[1:]) / len(write_mb[1:]), 2),
+            "frontier_sizes": sizes,
+            "scheduled": sched,
+            "schedule_digest": hex(int(total) & 0xFFFFFFFFFFFFFFFF),
+        }
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+        spark.stop()
+
+
+def ann_bench(cores: int, n_corpus: int = 1_000_000,
+              n_queries: int = 10_000, dim: int = 64) -> dict:
+    """Batch-ANN throughput at the training-data shape (dedup a query
+    batch against an embedded corpus): N x M via
+    operators/similarity.ann_topk_lsh_batch — multi-probe bucket
+    equi-join + window top-k, never all-pairs.  Corpus/queries are
+    synthesized JVM-side (xxhash64-derived floats; no driver transfer)
+    so the leg measures the operator, not generation.  Also reports
+    recall@10 vs brute-force cosine on a 200-query subsample."""
+    from pyspark.sql import functions as F
+
+    from spider_man_spark.operators.similarity import (
+        ann_topk_lsh_batch,
+        cosine_sim_cols,
+        random_planes,
+    )
+    from spider_man_spark.session import get_spark
+
+    spark = get_spark(
+        f"bench-ann-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=64,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def synth(n, salt, idcol):
+        return spark.range(n).select(
+            F.col("id").alias(idcol),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: (
+                    F.pmod(
+                        F.xxhash64(F.col("id") * dim + j, F.lit(salt)),
+                        F.lit(100_000),
+                    ).cast("double")
+                    / 50_000.0
+                    - 1.0
+                ),
+            ).alias("embedding"),
+        )
+
+    corpus = synth(n_corpus, 1, "vec_id").repartition(64).cache()
+    queries = synth(n_queries, 2, "qid").cache()
+    corpus.count(), queries.count()
+    planes = random_planes(dim, n_planes=16)
+    try:
+        t0 = time.monotonic()
+        n_out = ann_topk_lsh_batch(
+            queries, corpus, k=10, planes=planes, probe_hamming=2
+        ).count()
+        wall = time.monotonic() - t0
+
+        # recall vs brute on a subsample (exactness evidence at scale;
+        # small-N exact equivalence is pytest-proven)
+        sub_q = queries.filter(F.col("qid") < 200)
+        sub_c = corpus.filter(F.col("vec_id") < 100_000).cache()
+        sub_c.count()
+        ann = ann_topk_lsh_batch(
+            sub_q, sub_c, k=10, planes=planes, probe_hamming=2
+        ).select("qid", "vec_id")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("qid").orderBy(
+            F.col("cosine").desc(), F.col("vec_id").asc()
+        )
+        brute = (
+            sub_q.select("qid", F.col("embedding").alias("qv"))
+            .crossJoin(
+                sub_c.select("vec_id", F.col("embedding").alias("cv"))
+            )
+            .select(
+                "qid", "vec_id",
+                cosine_sim_cols(F.col("qv"), F.col("cv")).alias("cosine"),
+            )
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= 10)
+            .select("qid", "vec_id")
+        )
+        hits = ann.intersect(brute).count()
+        recall = round(hits / (200 * 10), 4)
+        return {
+            "n_corpus": n_corpus,
+            "n_queries": n_queries,
+            "dim": dim,
+            "k": 10,
+            "n_planes": 16,
+            "probe_hamming": 2,
+            "topk_rows": n_out,
+            "wall_sec": round(wall, 2),
+            "queries_per_sec": round(n_queries / wall, 1),
+            "recall_at_10_subsample": recall,
+        }
+    finally:
+        spark.stop()
+
+
 def sustain_bench(cores: int, epochs: int = 10) -> dict:
     """Long-crawl flatness evidence: the light corpus crawled for
     ``epochs`` epochs at a per-epoch budget sized so the frontier
@@ -585,6 +790,18 @@ def main() -> None:
     if len(sys.argv) == 3 and sys.argv[1] == "--sustain-leg":
         print(json.dumps(sustain_bench(int(sys.argv[2]))))
         return
+    if len(sys.argv) == 3 and sys.argv[1] == "--ann-leg":
+        print(json.dumps(ann_bench(int(sys.argv[2]))))
+        return
+    if len(sys.argv) == 5 and sys.argv[1] == "--frontier-leg":
+        print(
+            json.dumps(
+                frontier_bench(
+                    int(sys.argv[2]), sys.argv[3], int(sys.argv[4])
+                )
+            )
+        )
+        return
     if len(sys.argv) >= 4 and sys.argv[1] == "--crawl-leg":
         rest = sys.argv[4:]
         scale = "--scale" in rest
@@ -634,6 +851,43 @@ def main() -> None:
         )
         result["sustain"] = json.loads(out.stdout.strip().splitlines()[-1])
 
+    # batch-ANN leg: 10k queries x 1M corpus through the multi-probe
+    # bucket join + recall subsample (off with SPARK_GRAFT_ANN=0)
+    if os.environ.get("SPARK_GRAFT_ANN", "1") != "0":
+        import subprocess
+
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--ann-leg",
+             str(cpus)],
+            capture_output=True, text=True, check=True,
+            env={**os.environ,
+                 "SPARK_DRIVER_MEM": os.environ.get(
+                     "SPARK_DRIVER_MEM", "32g")},
+        )
+        result["ann"] = json.loads(out.stdout.strip().splitlines()[-1])
+
+    # frontier write-path evidence (sharded O(churn) commits vs full
+    # rewrite; 10x frontier-to-budget ratio) — default-on, 3 short legs
+    if os.environ.get("SPARK_GRAFT_FRONTIER", "1") != "0":
+        import subprocess
+
+        def _fleg(mode: str, sph: int) -> dict:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--frontier-leg", str(cpus), mode, str(sph)],
+                capture_output=True, text=True, check=True,
+                env={**os.environ,
+                     "SPARK_DRIVER_MEM": os.environ.get(
+                         "SPARK_DRIVER_MEM", "32g")},
+            )
+            return json.loads(out.stdout.strip().splitlines()[-1])
+
+        result["frontier"] = {
+            "mor_640k": _fleg("mor", 10000),
+            "full_640k": _fleg("full", 10000),
+            "mor_160k": _fleg("mor", 2500),
+        }
+
     # scaling evidence is part of the DEFAULT artifact (round-2 verdict:
     # the claim must be machine-checkable from BENCH_r{N}.json)
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
@@ -672,6 +926,30 @@ def main() -> None:
             for k in ("n_images", "images_per_sec", "decoded_mb_per_sec",
                       "neardup_pairs", "exact_dup_groups")
             if k in im
+        }
+    if "ann" in result:
+        an = result["ann"]
+        compact["ann"] = {
+            k: an[k]
+            for k in ("n_corpus", "n_queries", "queries_per_sec",
+                      "recall_at_10_subsample")
+            if k in an
+        }
+    if "frontier" in result:
+        fb = result["frontier"]
+        on, off, small = (
+            fb["mor_640k"], fb["full_640k"], fb["mor_160k"]
+        )
+        compact["frontier"] = {
+            "write_mb_mor_640k": on["steady_write_mb"],
+            "write_mb_full_640k": off["steady_write_mb"],
+            "io_ratio_full_over_mor": round(
+                off["steady_write_mb"] / max(on["steady_write_mb"], 0.01), 1
+            ),
+            "epoch_ms_mor_640k": on["steady_epoch_ms"],
+            "epoch_ms_full_640k": off["steady_epoch_ms"],
+            "epoch_ms_mor_160k": small["steady_epoch_ms"],
+            "digest_match": on["schedule_digest"] == off["schedule_digest"],
         }
     if "sustain" in result:
         su = result["sustain"]

@@ -96,7 +96,43 @@ class CrawlConfig:
     bloom_shards: int = 64
     bloom_shard_bits: int = 1 << 22
     # Partitioning: host-hash salt shards for skew defusal.
+    # NOTE: keep stable for the lifetime of a workdir — the sharded
+    # frontier layout keys its per-shard files on host_salt values
+    # computed with this fan-out.
     n_host_shards: int = 32
+    # Frontier commit strategy — the knob that decides whether a
+    # bounded-budget crawl over a 10^10-URL frontier pays O(churn) or
+    # O(|frontier|) write I/O per epoch:
+    #   "auto"    (default) per-epoch policy: merge-on-read deltas
+    #             when the frontier is large (>= frontier_mor_min_rows)
+    #             AND the last epoch's churn fraction is small
+    #             (<= frontier_mor_max_churn) AND dedup is on; full
+    #             rewrite otherwise.  Bench-measured rationale: MOR
+    #             cuts write I/O 8.5x with identical schedule digests,
+    #             but its read-side assembly costs ~2s/epoch of fixed
+    #             latency — a win only once the avoided write dwarfs
+    #             it (the 10^10 regime), so small crawls keep the
+    #             rewrite.  Mixed layouts are first-class: the reader
+    #             resolves any interleaving of full/sharded/MOR dirs.
+    #   "mor"     always merge-on-read deltas, the Iceberg MOR
+    #             posture: each epoch writes only the entering rows
+    #             (retries + admitted) and the leaving url_keys
+    #             (scheduled/disallowed tombstones); the effective
+    #             snapshot is assembled at read time (base ∪ enters,
+    #             max-leave-epoch join).  Write I/O is O(churn)
+    #             unconditionally; periodic compaction (compact_every)
+    #             folds deltas into a new base.  Requires dedup=True
+    #             (tombstones assume frontier url_keys are unique).
+    #   "sharded" shard-selective snapshot rewrite: only host-shards
+    #             whose membership changed are rewritten.  Only wins
+    #             when scheduling activity is shard-sparse (long-tail
+    #             politeness-throttled crawls); with a budget spread
+    #             over every host, all shards are dirty and it
+    #             degenerates to a slower full rewrite (bench-measured).
+    #   "full"    the original full-snapshot rewrite each epoch.
+    frontier_mode: str = "auto"
+    frontier_mor_min_rows: int = 4_000_000
+    frontier_mor_max_churn: float = 0.25
     # Ranking salt fan-out for the two-phase per-host top-k.
     rank_salts: int = 8
     base_url: str | None = None
@@ -176,6 +212,17 @@ def validate_settings(cfg: CrawlConfig) -> None:
         raise SettingsError("max_retries must be >= 0")
     if cfg.n_host_shards < 1 or cfg.bloom_shards < 1 or cfg.rank_salts < 1:
         raise SettingsError("shard/salt counts must be >= 1")
+    if cfg.frontier_mode not in ("auto", "mor", "sharded", "full"):
+        raise SettingsError(
+            f"frontier_mode must be 'auto', 'mor', 'sharded' or 'full' "
+            f"(got {cfg.frontier_mode!r})"
+        )
+    if cfg.frontier_mode == "mor" and not cfg.dedup:
+        raise SettingsError(
+            "frontier_mode='mor' requires dedup=True: leave tombstones "
+            "assume frontier url_keys are unique, which only the "
+            "seen-set dedup guarantees — use 'sharded' or 'full'"
+        )
     for name, fn in cfg.callbacks.items():
         if name not in LIFECYCLE_HOOKS:
             raise SettingsError(

@@ -103,6 +103,98 @@ def ann_topk_lsh(
     )
 
 
+def cosine_sim_cols(a: Column, b: Column) -> Column:
+    """cosine(a, b) between two array columns — codegen end-to-end.
+    Inputs are cast to double so per-element multiplies accumulate in
+    float64 like the literal-query path (array<float> inputs would
+    otherwise multiply in float32 and disagree at the 6dp round)."""
+    a = a.cast("array<double>")
+    b = b.cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(dot / (vec_norm(a) * vec_norm(b)), 6)
+
+
+def _probe_masks(n_planes: int, probe_hamming: int) -> list[int]:
+    """All XOR masks within ``probe_hamming`` bits over ``n_planes``
+    bucket bits (multi-probe expansion; 1 + C(n,1) + ... terms)."""
+    from itertools import combinations
+
+    masks = []
+    for h in range(probe_hamming + 1):
+        for bits in combinations(range(n_planes), h):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
+def ann_topk_lsh_batch(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    q_id_col: str = "qid",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: np.ndarray | None = None,
+    probe_hamming: int = 1,
+    dim: int | None = None,
+) -> DataFrame:
+    """Batch ANN: top-k corpus neighbors for EVERY query row — the
+    training-data shape (dedup a new batch of N embeddings against an
+    M-row embedded corpus) the single-query :func:`ann_topk_lsh` loop
+    can't serve at N x M scale.
+
+    Plan shape (never all-pairs): both sides bucket via the same
+    seeded planes; each query explodes to its multi-probe bucket set
+    (a STATIC literal mask list — probing is a bucket equi-join, so a
+    (query, corpus) pair meets exactly once and needs no dedup); exact
+    cosine on candidates; per-query top-k via a window rank.  Two
+    shuffles total (join on bucket, rank on qid) regardless of M."""
+    if planes is None:
+        if dim is None:
+            dim = len(queries.select(vec_col).first()[0])
+        planes = random_planes(dim)
+    masks = _probe_masks(len(planes), probe_hamming)
+    qb = queries.select(
+        F.col(q_id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        rp_lsh_bucket(F.col(vec_col), planes).alias("__qbucket"),
+    ).withColumn(
+        # generators must be top-level in a projection: explode the
+        # mask list first, XOR in a second projection
+        "__mask",
+        F.explode(F.array(*[F.lit(int(m)).cast("long") for m in masks])),
+    ).withColumn(
+        "__bucket", F.col("__mask").bitwiseXOR(F.col("__qbucket"))
+    ).drop("__mask", "__qbucket")
+    cb = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+        rp_lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        qb.join(cb, "__bucket")
+        .select(
+            "qid",
+            "vec_id",
+            cosine_sim_cols(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -398,13 +398,112 @@ def run_epoch(
     # layout can satisfy, so an extra exchange here would buy nothing
     # and costs a full frontier shuffle per epoch.  AQE coalescing
     # keeps output file counts sane.
-    # observe the size during the write — no read-back job
-    obs = Observation()
-    frontier_next = frontier_next.observe(obs, F.count(F.lit(1)).alias("n"))
-    store.write("frontier", frontier_next, epoch)
-    res.frontier_size = _obs_get(
-        obs, lambda: store.read_snapshot("frontier", epoch).count()
-    )
+    frontier_mode = cfg.frontier_mode
+    prev_size = None
+    if frontier_mode in ("auto", "mor"):
+        man = store.manifest()
+        if int(man.get("epoch", -1)) == prev and "frontier_size" in man:
+            prev_size = int(man["frontier_size"])
+        if prev_size is None:
+            prev_size = store.snapshot_size_fast("frontier", prev)
+    if frontier_mode == "auto":
+        # per-epoch policy (see config docstring): MOR only when the
+        # avoided full rewrite dwarfs MOR's fixed read-assembly
+        # latency — large frontier, low churn fraction, dedup on
+        if prev_size is None:
+            prev_size = frontier.count()
+        meta_prev = store._mor_meta("frontier", prev)
+        churn_ok = True
+        if meta_prev is not None:
+            churn = meta_prev["n_enter"] + meta_prev["n_leave"]
+            churn_ok = churn <= cfg.frontier_mor_max_churn * max(prev_size, 1)
+        frontier_mode = (
+            "mor"
+            if (
+                cfg.dedup
+                and prev_size >= cfg.frontier_mor_min_rows
+                and churn_ok
+            )
+            else "full"
+        )
+    if frontier_mode == "mor":
+        # merge-on-read commit (what "auto" picks in the
+        # large-frontier / low-churn regime): persist ONLY the churn —
+        # entering rows (retries/admitted) and leaving url_keys
+        # (scheduled/disallowed tombstones).  The rank-losers branch
+        # is never materialized into a write at all: the unscheduled
+        # majority costs this epoch nothing, which is the property a
+        # 10^10-URL frontier at a bounded budget needs (the full
+        # snapshot rewrite was the one remaining 100x-scale cost).
+        # The enter write is the epoch's first materialization (fetch
+        # + parse + dedup execute into the caches everything below
+        # reuses).
+        enters = None
+        for p in parts[1:]:
+            enters = p if enters is None else enters.unionByName(p)
+        leaves = None
+        if "downloader" not in suspended:
+            leaves = scheduled.select("url_key")
+            if disallowed is not None:
+                leaves = leaves.unionByName(
+                    disallowed.select("url_key")
+                )
+        if prev_size is None:
+            # newest base is a plain full dir (fresh seed / restore /
+            # compaction): one count re-seeds the O(1) size chain
+            prev_size = frontier.count()
+        if enters is None and leaves is None:
+            res.frontier_size = prev_size
+        else:
+            res.frontier_size = store.write_mor_delta(
+                "frontier", enters, leaves, epoch, prev_size
+            )
+    elif frontier_mode == "sharded":
+        # shard-selective commit: only shards touched by leavers
+        # (scheduled/disallowed) or enterers (retries/admitted) are
+        # rewritten; untouched shards' files stay in place.  Wins only
+        # when scheduling activity is shard-sparse — with the budget
+        # spread over every host, every shard is dirty and this
+        # degenerates to a slower full rewrite (bench-measured); kept
+        # for the long-tail politeness-throttled shape.  The dirty
+        # set is bounded by n_host_shards, so the collect is tiny; the
+        # job that computes it is the epoch's first materialization
+        # (rank + fetch + parse + dedup execute here and land in the
+        # caches the write below reuses).
+        shard = F.coalesce(F.col("host_salt"), F.lit(-1))
+        dirty_src = [scheduled.select(shard.alias("s"))]
+        if disallowed is not None:
+            dirty_src.append(disallowed.select(shard.alias("s")))
+        for p in parts[1:]:
+            dirty_src.append(p.select(shard.alias("s")))
+        dirty_df = dirty_src[0]
+        for p in dirty_src[1:]:
+            dirty_df = dirty_df.unionByName(p)
+        dirty = sorted(
+            int(r["s"]) for r in dirty_df.distinct().collect()
+        )
+        prev_counts = store.snapshot_shard_counts("frontier", prev)
+        if dirty:
+            frontier_dirty = frontier_next.withColumn(
+                "__fshard", shard
+            ).filter(F.col("__fshard").isin(dirty))
+            res.frontier_size = store.write_sharded_snapshot(
+                "frontier", frontier_dirty, epoch, dirty, prev_counts
+            )
+        else:
+            # nothing left or entered: the previous snapshot IS this
+            # epoch's snapshot — write nothing at all
+            res.frontier_size = sum(prev_counts.values())
+    else:
+        # observe the size during the write — no read-back job
+        obs = Observation()
+        frontier_next = frontier_next.observe(
+            obs, F.count(F.lit(1)).alias("n")
+        )
+        store.write("frontier", frontier_next, epoch)
+        res.frontier_size = _obs_get(
+            obs, lambda: store.read_snapshot("frontier", epoch).count()
+        )
 
     # fetch-side counts are now observable (the frontier write above
     # materialized the fetched cache)

@@ -182,6 +182,11 @@ class CrawlJob:
             )
         if self.store.last_epoch() < 0:
             self.store.commit(epoch=0, job_name=self.cfg.job_name)
+        # keep the O(1) frontier-size chain exact across seed inserts
+        # (admitted keys are seen-deduped, so they're all new rows)
+        m_size = self.store.manifest().get("frontier_size")
+        if m_size is not None:
+            self.store.commit(frontier_size=int(m_size) + n)
         admitted.unpersist()
         return n
 
@@ -256,9 +261,16 @@ class CrawlJob:
             epoch=epoch,
             job_name=self.cfg.job_name,
             has_disallow=res.has_disallow,
+            # O(1) size chain for the auto/mor frontier policy — saves
+            # the bootstrap count after full-rewrite epochs
+            frontier_size=res.frontier_size,
         )
         if self.cfg.compact_every and epoch % self.cfg.compact_every == 0:
             self.store.compact("seen", epoch)
+            if self.cfg.frontier_mode != "full":
+                # bound the MOR tombstone chain / sharded epoch-dir
+                # walk the same way the seen-delta union is bounded
+                self.store.compact_snapshot("frontier", epoch)
         self._last_frontier_size = res.frontier_size
         return res
 

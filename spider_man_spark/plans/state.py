@@ -31,7 +31,34 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+
+# Marker file inside an epoch dir that makes a snapshot SHARD-SELECTIVE:
+# the dir holds only the host-shards whose membership changed that epoch
+# (as __fshard=K subdirs) plus this metadata file recording which shards
+# are covered ("dirty") and the cumulative per-shard row counts.  Shards
+# not listed resolve at an older epoch dir — so a frontier epoch writes
+# O(churn) bytes instead of rewriting the full snapshot (the 10^10-URL
+# posture: the unscheduled majority's files stay in place).  Equivalent
+# to an Iceberg MERGE that replaces only the data files of touched
+# partitions.
+SHARD_META = "shards.json"
+_FSHARD = "__fshard"
+
+# Marker file for a MERGE-ON-READ delta epoch dir (Iceberg MOR
+# posture): the dir holds only `enter/` (rows that joined the frontier
+# this epoch — retries + admitted) and `leave/` (url_key tombstones
+# for rows that left — scheduled/disallowed), plus this metadata file
+# with the delta counts and the resulting snapshot size.  The
+# effective snapshot is assembled at read time; per-epoch write I/O is
+# O(churn) UNCONDITIONALLY — unlike shard-selective rewrite, which
+# degenerates to a full rewrite whenever scheduling touches every
+# host-shard (the common case for an evenly-budgeted crawl).
+MOR_META = "delta.json"
+# Broadcast the tombstone set into the read-side join while it stays
+# comfortably under executor memory; beyond that let it shuffle.
+_MOR_BROADCAST_MAX_KEYS = 4_000_000
 
 SNAPSHOT_KINDS = frozenset(
     {"frontier", "robots", "session", "pending_fetched", "pending_items",
@@ -110,6 +137,314 @@ class StateStore:
         )
         open(os.path.join(path, "_SUCCESS"), "w").close()
 
+    def write_sharded_snapshot(
+        self,
+        kind: str,
+        df: DataFrame,
+        epoch: int,
+        dirty: list[int],
+        prev_counts: dict[int, int],
+    ) -> int:
+        """Shard-selective snapshot commit: write ONLY the dirty shards
+        (``df`` must carry an ``__fshard`` int column and already be
+        filtered to ``dirty``), record covered shards + cumulative
+        per-shard row counts in shards.json.  Untouched shards' files
+        in older epoch dirs stay in place — per-epoch write I/O is
+        O(churn), not O(|snapshot|).  Returns the total snapshot size
+        (sum of the updated counts), so callers get the full-frontier
+        cardinality without any extra job over the clean shards."""
+        path = os.path.join(self.workdir, kind, _edir(epoch))
+        df.write.mode("overwrite").partitionBy(_FSHARD).parquet(path)
+        written: dict[int, int] = {}
+        if any(
+            name.startswith(f"{_FSHARD}=") for name in os.listdir(path)
+        ):
+            # per-shard written counts: a count over freshly-written
+            # parquet is served from footer metadata (O(files), not
+            # O(rows)) and is bounded by |dirty| result rows
+            rows = (
+                self.spark.read.parquet(path)
+                .groupBy(_FSHARD)
+                .count()
+                .collect()
+            )
+            written = {int(r[_FSHARD]): int(r["count"]) for r in rows}
+        counts = {int(k): int(v) for k, v in prev_counts.items()}
+        for k in dirty:
+            counts[int(k)] = written.get(int(k), 0)
+        counts = {k: v for k, v in counts.items() if v > 0}
+        meta = {
+            "dirty": sorted(int(k) for k in dirty),
+            "counts": {str(k): v for k, v in sorted(counts.items())},
+        }
+        with open(os.path.join(path, SHARD_META), "w") as f:
+            json.dump(meta, f)
+        return sum(counts.values())
+
+    def write_mor_delta(
+        self,
+        kind: str,
+        enters: DataFrame | None,
+        leaves: DataFrame | None,
+        epoch: int,
+        prev_size: int,
+        key_col: str = "url_key",
+    ) -> int:
+        """Merge-on-read delta commit: persist only this epoch's
+        entering rows and leaving keys.  Counts ride on Observations
+        attached to the delta writes themselves (no read-back job);
+        returns the resulting snapshot size
+        (prev + n_enter - n_leave, exact because ``key_col`` is unique
+        in the snapshot — enforced by config validation)."""
+        from pyspark.sql import Observation
+
+        path = os.path.join(self.workdir, kind, _edir(epoch))
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        n_enter = n_leave = 0
+        if enters is not None:
+            obs = Observation()
+            enters.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(path, "enter"))
+            try:
+                n_enter = int(obs.get["n"])
+            except Exception:  # noqa: BLE001 - statically-empty plans
+                n_enter = int(
+                    self.spark.read.parquet(
+                        os.path.join(path, "enter")
+                    ).count()
+                )
+        if leaves is not None:
+            obs = Observation()
+            leaves.select(F.col(key_col)).observe(
+                obs, F.count(F.lit(1)).alias("n")
+            ).write.mode("overwrite").parquet(os.path.join(path, "leave"))
+            try:
+                n_leave = int(obs.get["n"])
+            except Exception:  # noqa: BLE001
+                n_leave = int(
+                    self.spark.read.parquet(
+                        os.path.join(path, "leave")
+                    ).count()
+                )
+        size = max(int(prev_size) + n_enter - n_leave, 0)
+        with open(os.path.join(path, MOR_META), "w") as f:
+            json.dump(
+                {"n_enter": n_enter, "n_leave": n_leave, "size": size,
+                 "key_col": key_col},
+                f,
+            )
+        open(os.path.join(path, "_SUCCESS"), "w").close()
+        return size
+
+    def _mor_meta(self, kind: str, epoch: int) -> dict | None:
+        p = os.path.join(self.workdir, kind, _edir(epoch), MOR_META)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def snapshot_size_fast(self, kind: str, up_to: int) -> int | None:
+        """O(1) snapshot cardinality when the newest epoch dir carries
+        it (MOR meta or sharded counts); None when only a full dir is
+        newest (caller counts once and the next delta commit re-seeds
+        the fast path)."""
+        eps = self._epochs(kind, up_to)
+        if not eps:
+            return 0
+        meta = self._mor_meta(kind, eps[-1])
+        if meta is not None:
+            return int(meta["size"])
+        smeta = self._shard_meta(kind, eps[-1])
+        if smeta is not None:
+            return sum(int(v) for v in smeta["counts"].values())
+        return None
+
+    def _read_mor(
+        self, kind: str, eps: list[int], schema: StructType | None,
+        shard_col: str,
+    ) -> DataFrame | None:
+        """Assemble base ∪ enters minus tombstones.  A row entered at
+        epoch e survives iff no leave for its key has epoch > e (a
+        leave at e tombstones only pre-e rows, so a retry that leaves
+        and re-enters in the same epoch survives — matching the
+        full-rewrite semantics exactly)."""
+        mor_eps: list[int] = []
+        base_eps: list[int] = []
+        for i in range(len(eps) - 1, -1, -1):
+            if self._mor_meta(kind, eps[i]) is not None:
+                mor_eps.append(eps[i])
+            else:
+                base_eps = eps[: i + 1]
+                break
+        mor_eps.sort()
+        parts: list[DataFrame] = []
+        key_col = "url_key"
+        if base_eps:
+            if self._shard_meta(kind, base_eps[-1]) is not None:
+                base = self._read_sharded(
+                    kind, base_eps, schema, shard_col
+                )
+            else:
+                base = self.spark.read.parquet(
+                    os.path.join(self.workdir, kind, _edir(base_eps[-1]))
+                )
+            if base is not None:
+                parts.append(base.withColumn("__ee", F.lit(-1)))
+        total_leaves = 0
+        leave_parts: list[DataFrame] = []
+        for e in mor_eps:
+            meta = self._mor_meta(kind, e)
+            key_col = meta.get("key_col", key_col)
+            d = os.path.join(self.workdir, kind, _edir(e))
+            if meta["n_enter"]:
+                parts.append(
+                    self.spark.read.parquet(os.path.join(d, "enter"))
+                    .withColumn("__ee", F.lit(e))
+                )
+            if meta["n_leave"]:
+                total_leaves += int(meta["n_leave"])
+                leave_parts.append(
+                    self.spark.read.parquet(os.path.join(d, "leave"))
+                    .withColumn("__le", F.lit(e))
+                )
+        if not parts:
+            if schema is not None:
+                return self.spark.createDataFrame([], schema)
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if leave_parts:
+            leaves = leave_parts[0]
+            for p in leave_parts[1:]:
+                leaves = leaves.unionByName(p)
+            tomb = leaves.groupBy(key_col).agg(F.max("__le").alias("__le"))
+            if total_leaves <= _MOR_BROADCAST_MAX_KEYS:
+                tomb = F.broadcast(tomb)
+            out = (
+                out.join(tomb, key_col, "left")
+                .filter(F.col("__le").isNull() | (F.col("__le") <= F.col("__ee")))
+                .drop("__le")
+            )
+        out = out.drop("__ee")
+        if schema is not None:
+            out = out.select(*[f.name for f in schema.fields])
+        return out
+
+    def _shard_meta(self, kind: str, epoch: int) -> dict | None:
+        p = os.path.join(self.workdir, kind, _edir(epoch), SHARD_META)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def snapshot_shard_counts(
+        self, kind: str, up_to: int, shard_col: str = "host_salt"
+    ) -> dict[int, int]:
+        """Cumulative per-shard row counts of the effective snapshot at
+        ``up_to``.  O(1) when the newest dir is shard-selective (the
+        counts ride in its shards.json); otherwise bootstrapped by one
+        groupBy over the full snapshot (pays off only after a seed
+        insert / restore / compaction rewrote a full dir)."""
+        eps = self._epochs(kind, up_to)
+        if not eps:
+            return {}
+        meta = self._shard_meta(kind, eps[-1])
+        if meta is not None:
+            return {int(k): int(v) for k, v in meta["counts"].items()}
+        snap = self.read_snapshot(kind, up_to)
+        if snap is None:
+            return {}
+        rows = (
+            snap.groupBy(
+                F.coalesce(F.col(shard_col), F.lit(-1)).alias("s")
+            )
+            .count()
+            .collect()
+        )
+        return {int(r["s"]): int(r["count"]) for r in rows if r["count"]}
+
+    def _read_sharded(
+        self, kind: str, eps: list[int], schema: StructType | None,
+        shard_col: str,
+    ) -> DataFrame:
+        """Assemble the effective snapshot from shard-selective epoch
+        dirs: walking newest-first, each shard resolves at the newest
+        dir that covers it; a full (meta-less) dir is the base for
+        everything still uncovered."""
+        covered: set[int] = set()
+        shard_parts: list[tuple[str, list[str]]] = []
+        base: tuple[str, set[int]] | None = None
+        for e in reversed(eps):
+            d = os.path.join(self.workdir, kind, _edir(e))
+            meta = self._shard_meta(kind, e)
+            if meta is None:
+                base = (d, set(covered))
+                break
+            take = [
+                int(k) for k in meta["dirty"] if int(k) not in covered
+            ]
+            subs = [
+                os.path.join(d, f"{_FSHARD}={k}")
+                for k in take
+                if os.path.isdir(os.path.join(d, f"{_FSHARD}={k}"))
+            ]
+            if subs:
+                shard_parts.append((d, subs))
+            covered.update(int(k) for k in meta["dirty"])
+        dfs: list[DataFrame] = []
+        for basepath, subs in shard_parts:
+            dfs.append(
+                self.spark.read.option("basePath", basepath)
+                .parquet(*subs)
+                .drop(_FSHARD)
+            )
+        if base is not None:
+            d, cov = base
+            bdf = self.spark.read.parquet(d)
+            if cov:
+                bdf = bdf.filter(
+                    ~F.coalesce(F.col(shard_col), F.lit(-1)).isin(
+                        sorted(cov)
+                    )
+                )
+            dfs.append(bdf)
+        if not dfs:
+            if schema is not None:
+                return self.spark.createDataFrame([], schema)
+            return None
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df)
+        return out
+
+    def compact_snapshot(self, kind: str, epoch: int) -> int:
+        """Collapse shard-selective history into one full dir at
+        ``epoch`` and drop the older dirs — bounds the epoch-dir walk
+        the same way delta compaction bounds the delta union."""
+        eps = self._epochs(kind, epoch)
+        if not eps:
+            return 0
+        if (
+            len(eps) == 1
+            and self._shard_meta(kind, eps[-1]) is None
+            and self._mor_meta(kind, eps[-1]) is None
+        ):
+            return 0
+        merged = self.read_snapshot(kind, epoch)
+        self.rewrite(kind, merged, epoch)
+        removed = 0
+        for e in eps:
+            if e != epoch:
+                shutil.rmtree(
+                    os.path.join(self.workdir, kind, _edir(e)),
+                    ignore_errors=True,
+                )
+                removed += 1
+        return removed
+
     def rewrite(self, kind: str, df: DataFrame, epoch: int) -> None:
         """Overwrite an epoch dir with a DataFrame that may READ from
         that same dir: localCheckpoint(eager) materializes the data
@@ -133,13 +468,18 @@ class StateStore:
         return sorted(out)
 
     def read_snapshot(
-        self, kind: str, up_to: int, schema: StructType | None = None
+        self, kind: str, up_to: int, schema: StructType | None = None,
+        shard_col: str = "host_salt",
     ) -> DataFrame | None:
         eps = self._epochs(kind, up_to)
         if not eps:
             if schema is not None:
                 return self.spark.createDataFrame([], schema)
             return None
+        if self._mor_meta(kind, eps[-1]) is not None:
+            return self._read_mor(kind, eps, schema, shard_col)
+        if self._shard_meta(kind, eps[-1]) is not None:
+            return self._read_sharded(kind, eps, schema, shard_col)
         return self.spark.read.parquet(
             os.path.join(self.workdir, kind, _edir(eps[-1]))
         )

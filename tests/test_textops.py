@@ -14,6 +14,7 @@ from spider_man_spark.functions.sketches import (
 from spider_man_spark.functions.text import with_text_features
 from spider_man_spark.operators.similarity import (
     ann_topk_lsh,
+    ann_topk_lsh_batch,
     brute_force_dup_pairs,
     cosine_topk,
     embedding_dup_pairs,
@@ -161,6 +162,38 @@ def test_ann_lsh_recall(spark, vectors):
     got = [r.vec_id for r in ann_topk_lsh(df, q, k=3, planes=planes,
                                           probe_hamming=2).collect()]
     assert 3 in got and 7 in got  # near-identical vectors share buckets
+
+
+def test_ann_batch_equals_per_query_loop(spark, vectors):
+    """ann_topk_lsh_batch(N queries) == N x ann_topk_lsh(one query):
+    identical (qid -> [(vec_id, cosine)]) maps — the batch bucket
+    equi-join + window rank is a pure re-plan of the per-query
+    filter+limit, not a different algorithm."""
+    df, base = vectors
+    # double everywhere: the per-query path promotes to float64 via
+    # its double query literals, so the batch side must match
+    df = df.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    planes = random_planes(16, n_planes=8)
+    qids = [0, 3, 11, 25]
+    queries = df.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    batch = {}
+    for r in ann_topk_lsh_batch(
+        queries, df, k=4, planes=planes, probe_hamming=2
+    ).collect():
+        batch.setdefault(r.qid, []).append((r.vec_id, r.cosine))
+    for qid in qids:
+        q = [float(x) for x in base[qid]]
+        loop = [
+            (r.vec_id, r.cosine)
+            for r in ann_topk_lsh(
+                df, q, k=4, planes=planes, probe_hamming=2
+            ).collect()
+        ]
+        assert batch[qid] == loop, f"qid {qid}"
 
 
 def test_embedding_dup_pairs_lsh_vs_brute(spark, vectors):
