@@ -175,16 +175,20 @@ class CrawlConfig:
     max_epochs: int = 1000
     # Session-state (SetCookie) stage on/off.
     cookies: bool = False
-    # Accurate per-stage duration attribution: when True, each stage's
-    # persisted output is materialized by a timed action inside its
-    # stage window, so durations_ms/metrics tps reflect EXECUTION time
-    # per component (the reference's stats fold, lib/spider_man.ex:285-305).
-    # Default False: Spark's laziness means the work otherwise runs at
-    # the epoch-end writes, and the per-stage rows are construction-time
-    # approximations — only the 'epoch' row is exact.  The barriers cost
-    # ~1 scheduling round trip per stage, which matters at high epoch
-    # rates, so throughput-critical crawls leave this off.
-    stage_timing: bool = False
+    # Accurate per-stage duration attribution: each stage's persisted
+    # output is materialized by a timed action inside its stage
+    # window, so durations_ms/metrics tps reflect EXECUTION time per
+    # component (the reference's stats fold, lib/spider_man.ex:285-305).
+    # Default True (round-4): the barriers cost a median 3.0% epoch
+    # wall (paired same-JVM alternating-epoch A/B at the light bench
+    # shape — two extra job round trips over already-persisted
+    # caches); a fused-lazy plan offers no cheaper execution-true
+    # attribution (stages fuse into one job, so no listener can split
+    # them without the same materialization points).  Set False for
+    # throughput-critical crawls: the work then runs at the epoch-end
+    # writes and per-stage rows become construction-time
+    # approximations — only the 'epoch' row stays exact.
+    stage_timing: bool = True
     # Per-fetched-page text features (lang / quality / tokens /
     # fingerprint) written to a page_features state table each epoch —
     # the crawl -> training-data bridge (off by default: it adds one
