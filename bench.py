@@ -519,8 +519,12 @@ def ann_bench(cores: int, n_corpus: int = 1_000_000,
     operators/similarity.ann_topk_lsh_batch — multi-probe bucket
     equi-join + window top-k, never all-pairs.  Corpus/queries are
     synthesized JVM-side (xxhash64-derived floats; no driver transfer)
-    so the leg measures the operator, not generation.  Also reports
-    recall@10 vs brute-force cosine on a 200-query subsample."""
+    so the leg measures the operator, not generation; the corpus is
+    CLUSTERED (5k hash-derived centers + 15% noise) — the shape real
+    embedding spaces have and the one LSH serves (uniform random
+    vectors have near-orthogonal "neighbors" spread over every bucket
+    and defeat any sublinear index).  Also reports recall@10 vs
+    brute-force cosine on a 200-query subsample."""
     from pyspark.sql import functions as F
 
     from spider_man_spark.operators.similarity import (
@@ -536,19 +540,29 @@ def ann_bench(cores: int, n_corpus: int = 1_000_000,
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    def synth(n, salt, idcol):
+    def synth(n, salt, idcol, n_centers=5000):
+        # point = hash-derived cluster center + 15% noise, all JVM-side
+        center = F.col("id") % n_centers
+
+        def coord(j):
+            c = (
+                F.pmod(F.xxhash64(center * dim + j, F.lit(0)),
+                       F.lit(100_000)).cast("double")
+                / 50_000.0
+                - 1.0
+            )
+            noise = (
+                F.pmod(F.xxhash64(F.col("id") * dim + j, F.lit(salt)),
+                       F.lit(100_000)).cast("double")
+                / 50_000.0
+                - 1.0
+            )
+            return c + 0.15 * noise
+
         return spark.range(n).select(
             F.col("id").alias(idcol),
             F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda j: (
-                    F.pmod(
-                        F.xxhash64(F.col("id") * dim + j, F.lit(salt)),
-                        F.lit(100_000),
-                    ).cast("double")
-                    / 50_000.0
-                    - 1.0
-                ),
+                F.sequence(F.lit(0), F.lit(dim - 1)), coord
             ).alias("embedding"),
         )
 
