@@ -27,6 +27,11 @@ Env:
                        decode+phash-verify scan throughput and
                        perceptual/exact dedup over an
                        input_hint-shaped image+caption table).
+  SPARK_GRAFT_STAGE_TIMING  "0"/"1" -> override cfg.stage_timing for
+                       the crawl legs (default: engine default, ON;
+                       the execution-true barriers cost a median 3%
+                       epoch wall — measured by a paired same-JVM
+                       alternating-epoch A/B).
   SPARK_GRAFT_ANN      "0" -> skip the batch-ANN leg (10k queries x
                        1M corpus multi-probe bucket join + recall
                        subsample; default ON).

@@ -348,6 +348,11 @@ class CrawlJob:
         if n:
             frontier = self.store.read_snapshot("frontier", epoch, FRONTIER_SCHEMA)
             self.store.rewrite("frontier", frontier.unionByName(rows), epoch)
+            # keep the O(1) frontier-size chain exact (dead-lettered
+            # rows are disjoint from the live frontier, so +n is exact)
+            m_size = self.store.manifest().get("frontier_size")
+            if m_size is not None:
+                self.store.commit(frontier_size=int(m_size) + n)
             # rewrite the failed deltas minus the retried rows
             for e in self.store._epochs("failed", epoch):
                 delta = self.spark.read.parquet(
