@@ -292,23 +292,30 @@ class StateStore:
                 )
             if base is not None:
                 parts.append(base.withColumn("__ee", F.lit(-1)))
+        # one multi-dir scan per side with the epoch recovered from the
+        # file path — plan size stays O(1) in the delta-chain length
+        # instead of an N-way union (the chain is re-read every epoch,
+        # so plan growth compounds)
+        epoch_tag = F.regexp_extract(
+            F.input_file_name(), r"/e_(\d{5})/(?:enter|leave)/", 1
+        ).cast("int")
         total_leaves = 0
-        leave_parts: list[DataFrame] = []
+        enter_dirs: list[str] = []
+        leave_dirs: list[str] = []
         for e in mor_eps:
             meta = self._mor_meta(kind, e)
             key_col = meta.get("key_col", key_col)
             d = os.path.join(self.workdir, kind, _edir(e))
             if meta["n_enter"]:
-                parts.append(
-                    self.spark.read.parquet(os.path.join(d, "enter"))
-                    .withColumn("__ee", F.lit(e))
-                )
+                enter_dirs.append(os.path.join(d, "enter"))
             if meta["n_leave"]:
                 total_leaves += int(meta["n_leave"])
-                leave_parts.append(
-                    self.spark.read.parquet(os.path.join(d, "leave"))
-                    .withColumn("__le", F.lit(e))
-                )
+                leave_dirs.append(os.path.join(d, "leave"))
+        if enter_dirs:
+            parts.append(
+                self.spark.read.parquet(*enter_dirs)
+                .withColumn("__ee", epoch_tag)
+            )
         if not parts:
             if schema is not None:
                 return self.spark.createDataFrame([], schema)
@@ -316,10 +323,10 @@ class StateStore:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        if leave_parts:
-            leaves = leave_parts[0]
-            for p in leave_parts[1:]:
-                leaves = leaves.unionByName(p)
+        if leave_dirs:
+            leaves = self.spark.read.parquet(*leave_dirs).withColumn(
+                "__le", epoch_tag
+            )
             tomb = leaves.groupBy(key_col).agg(F.max("__le").alias("__le"))
             if total_leaves <= _MOR_BROADCAST_MAX_KEYS:
                 tomb = F.broadcast(tomb)
