@@ -229,6 +229,35 @@ def test_mor_compact_collapses_chain(spark, tmp_path):
     assert _snap_rows(store, 3) == [("c0", 2), ("d0", 3), ("e0", 4)]
 
 
+def test_mixed_layout_chain(spark, tmp_path):
+    """full -> sharded -> MOR interleavings resolve correctly: each
+    layer overlays the one below it."""
+    store = StateStore(spark, str(tmp_path / "wd"))
+    store.write(
+        "frontier",
+        _frontier_df(spark, [("a0", 0), ("b0", 1), ("c0", 2)]),
+        0,
+    )
+    # sharded epoch 1: shard 1 churns to b1
+    delta = _frontier_df(spark, [("b1", 1)]).withColumn(
+        "__fshard", F.coalesce(F.col("host_salt"), F.lit(-1))
+    )
+    store.write_sharded_snapshot(
+        "frontier", delta, 1, [1],
+        store.snapshot_shard_counts("frontier", 0),
+    )
+    # MOR epoch 2 on top of the sharded base: a0 leaves, d0 enters
+    size = store.write_mor_delta(
+        "frontier", _frontier_df(spark, [("d0", 3)]),
+        _frontier_df(spark, [("a0", 0)]), 2, prev_size=3,
+    )
+    assert size == 3
+    assert _snap_rows(store, 2) == [("b1", 1), ("c0", 2), ("d0", 3)]
+    # compaction collapses all three layers into one full dir
+    store.compact_snapshot("frontier", 2)
+    assert _snap_rows(store, 2) == [("b1", 1), ("c0", 2), ("d0", 3)]
+
+
 @pytest.fixture(scope="module")
 def corpus(spark):
     return make_corpus(
@@ -301,6 +330,56 @@ def test_auto_mode_policy(spark, tmp_path, corpus):
     assert is_mor
     assert job.store.read_snapshot("frontier", job.store.last_epoch(),
                                    FRONTIER_SCHEMA).count() > 0
+
+
+def test_resume_mid_mor_chain(spark, tmp_path, corpus):
+    """Checkpoint/resume with a MOR delta chain on disk: a NEW
+    CrawlJob over the same workdir continues the crawl and lands on
+    the same final state as an uninterrupted run (the north-rule
+    resumability requirement must hold for every commit layout)."""
+
+    def digest(job):
+        ep = job.store.last_epoch()
+        seen = job.store.read_deltas("seen", ep)
+        return int(
+            seen.select(
+                F.sum(
+                    F.xxhash64("epoch", "url_key").cast("decimal(38,0)")
+                ).alias("d")
+            ).first().d
+        )
+
+    def cfg_for(tag):
+        return CrawlConfig(
+            workdir=str(tmp_path / tag), tokens_per_epoch=20,
+            frontier_mode="auto", frontier_mor_min_rows=1,
+            frontier_mor_max_churn=100.0, compact_every=0,
+        )
+
+    seeds = [f"http://h{i}.test/p/0" for i in range(4)]
+    # uninterrupted: 5 epochs
+    job_a = CrawlJob(spark, cfg_for("wd_uninterrupted"), corpus=corpus)
+    job_a.insert_requests(seeds)
+    for _ in range(5):
+        job_a.step()
+
+    # interrupted: 3 epochs, then a brand-new job resumes for 2 more
+    job_b1 = CrawlJob(spark, cfg_for("wd_resumed"), corpus=corpus)
+    job_b1.insert_requests(seeds)
+    for _ in range(3):
+        job_b1.step()
+    assert job_b1.store._mor_meta(
+        "frontier", job_b1.store.last_epoch()
+    ) is not None  # the chain really is MOR at the cut point
+    job_b2 = CrawlJob(spark, cfg_for("wd_resumed"), corpus=corpus)
+    for _ in range(2):
+        job_b2.step()
+
+    assert job_b2.store.last_epoch() == job_a.store.last_epoch()
+    assert digest(job_b2) == digest(job_a)
+    fr_a = _snap_rows(job_a.store, job_a.store.last_epoch())
+    fr_b = _snap_rows(job_b2.store, job_b2.store.last_epoch())
+    assert fr_a == fr_b
 
 
 def test_untouched_shard_files_not_rewritten(spark, tmp_path, corpus):
