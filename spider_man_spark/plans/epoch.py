@@ -443,7 +443,17 @@ def run_epoch(
             enters = p if enters is None else enters.unionByName(p)
         leaves = None
         if "downloader" not in suspended:
-            leaves = scheduled.select("url_key")
+            # leavers are the PRE-pipeline scheduled rows: pipelines
+            # drop skipped rows (no retry, producer/ets.ex:150) and
+            # split out errored rows AFTER scheduling, but every
+            # originally-scheduled row left the frontier — `piped`
+            # (the persisted pre-split pipeline output) carries
+            # exactly that set; using the post-pipeline `scheduled`
+            # would resurrect skipped rows forever and double-insert
+            # errored retries
+            leaves = (piped if piped is not None else scheduled).select(
+                "url_key"
+            )
             if disallowed is not None:
                 leaves = leaves.unionByName(
                     disallowed.select("url_key")
@@ -471,7 +481,14 @@ def run_epoch(
         # (rank + fetch + parse + dedup execute here and land in the
         # caches the write below reuses).
         shard = F.coalesce(F.col("host_salt"), F.lit(-1))
-        dirty_src = [scheduled.select(shard.alias("s"))]
+        # pre-pipeline scheduled rows (see the MOR leaves note): a
+        # shard whose only activity was a pipeline-skipped row still
+        # churned and must be rewritten without that row
+        dirty_src = [
+            (piped if piped is not None else scheduled).select(
+                shard.alias("s")
+            )
+        ]
         if disallowed is not None:
             dirty_src.append(disallowed.select(shard.alias("s")))
         for p in parts[1:]:

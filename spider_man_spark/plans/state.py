@@ -78,6 +78,53 @@ class StateStore:
         self.spark = spark
         self.workdir = workdir
         os.makedirs(workdir, exist_ok=True)
+        self._recover_replacements()
+
+    # -- crash-safe in-place dir replacement (compaction) --
+    def _recover_replacements(self) -> None:
+        """Finish or roll back any dir replacement a crash interrupted
+        (see _safe_replace_dir): a complete `__tmp` with its final dir
+        missing is rolled forward; everything else stale is dropped."""
+        for kind in sorted(SNAPSHOT_KINDS | DELTA_KINDS):
+            d = os.path.join(self.workdir, kind)
+            if not os.path.isdir(d):
+                continue
+            for name in os.listdir(d):
+                p = os.path.join(d, name)
+                if name.endswith("__tmp"):
+                    final = p[: -len("__tmp")]
+                    if (
+                        os.path.exists(os.path.join(p, "_SUCCESS"))
+                        and not os.path.exists(final)
+                    ):
+                        os.rename(p, final)
+                    else:
+                        shutil.rmtree(p, ignore_errors=True)
+                elif name.endswith("__old"):
+                    final = p[: -len("__old")]
+                    if os.path.exists(final):
+                        shutil.rmtree(p, ignore_errors=True)
+                    else:
+                        # tmp never landed: roll the old dir back
+                        os.rename(p, final)
+
+    def _safe_replace_dir(self, kind: str, df: DataFrame, epoch: int) -> None:
+        """Replace an ALREADY-COMMITTED epoch dir with ``df`` without a
+        crash window: write to `__tmp` first (reading the live dir is
+        safe), then swap via renames.  A kill at any point leaves
+        either the old or the new dir recoverable by
+        _recover_replacements — a plain overwrite would delete
+        committed state before the replacement exists."""
+        final = os.path.join(self.workdir, kind, _edir(epoch))
+        tmp = final + "__tmp"
+        old = final + "__old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        df.localCheckpoint(eager=True).write.mode("overwrite").parquet(tmp)
+        if os.path.exists(final):
+            os.rename(final, old)
+        os.rename(tmp, final)
+        shutil.rmtree(old, ignore_errors=True)
 
     # -- manifest (atomic commit marker) --
     def manifest(self) -> dict:
@@ -383,12 +430,15 @@ class StateStore:
         everything still uncovered."""
         covered: set[int] = set()
         shard_parts: list[tuple[str, list[str]]] = []
-        base: tuple[str, set[int]] | None = None
-        for e in reversed(eps):
+        base_eps: list[int] = []
+        base_cov: set[int] = set()
+        for i in range(len(eps) - 1, -1, -1):
+            e = eps[i]
             d = os.path.join(self.workdir, kind, _edir(e))
             meta = self._shard_meta(kind, e)
             if meta is None:
-                base = (d, set(covered))
+                base_eps = eps[: i + 1]
+                base_cov = set(covered)
                 break
             take = [
                 int(k) for k in meta["dirty"] if int(k) not in covered
@@ -408,16 +458,24 @@ class StateStore:
                 .parquet(*subs)
                 .drop(_FSHARD)
             )
-        if base is not None:
-            d, cov = base
-            bdf = self.spark.read.parquet(d)
-            if cov:
-                bdf = bdf.filter(
-                    ~F.coalesce(F.col(shard_col), F.lit(-1)).isin(
-                        sorted(cov)
-                    )
+        if base_eps:
+            # the base below a sharded chain may itself be a MOR delta
+            # chain — delegate so tombstones apply (reading the raw
+            # enter/leave dirs as a snapshot would be garbage)
+            if self._mor_meta(kind, base_eps[-1]) is not None:
+                bdf = self._read_mor(kind, base_eps, schema, shard_col)
+            else:
+                bdf = self.spark.read.parquet(
+                    os.path.join(self.workdir, kind, _edir(base_eps[-1]))
                 )
-            dfs.append(bdf)
+            if bdf is not None:
+                if base_cov:
+                    bdf = bdf.filter(
+                        ~F.coalesce(F.col(shard_col), F.lit(-1)).isin(
+                            sorted(base_cov)
+                        )
+                    )
+                dfs.append(bdf)
         if not dfs:
             if schema is not None:
                 return self.spark.createDataFrame([], schema)
@@ -428,23 +486,26 @@ class StateStore:
         return out
 
     def compact_snapshot(self, kind: str, epoch: int) -> int:
-        """Collapse shard-selective history into one full dir at
-        ``epoch`` and drop the older dirs — bounds the epoch-dir walk
-        the same way delta compaction bounds the delta union."""
+        """Collapse sharded/MOR history into one full dir at ``epoch``
+        and drop the older dirs — bounds the epoch-dir walk the same
+        way delta compaction bounds the delta union.  Crash-safe: the
+        committed newest dir is replaced via _safe_replace_dir, and
+        when it is already a plain full snapshot the older dirs are
+        simply deleted with no Spark job at all."""
         eps = self._epochs(kind, epoch)
         if not eps:
             return 0
-        if (
-            len(eps) == 1
-            and self._shard_meta(kind, eps[-1]) is None
+        newest_plain = (
+            self._shard_meta(kind, eps[-1]) is None
             and self._mor_meta(kind, eps[-1]) is None
-        ):
-            return 0
-        merged = self.read_snapshot(kind, epoch)
-        self.rewrite(kind, merged, epoch)
+        )
+        if not newest_plain:
+            merged = self.read_snapshot(kind, epoch)
+            self._safe_replace_dir(kind, merged, epoch)
         removed = 0
+        keep = epoch if not newest_plain else eps[-1]
         for e in eps:
-            if e != epoch:
+            if e != keep:
                 shutil.rmtree(
                     os.path.join(self.workdir, kind, _edir(e)),
                     ignore_errors=True,
@@ -454,10 +515,13 @@ class StateStore:
 
     def rewrite(self, kind: str, df: DataFrame, epoch: int) -> None:
         """Overwrite an epoch dir with a DataFrame that may READ from
-        that same dir: localCheckpoint(eager) materializes the data
-        and truncates lineage first, so the overwrite can't consume
-        its own deleted input."""
-        self.write(kind, df.localCheckpoint(eager=True), epoch)
+        that same dir.  Delegates to _safe_replace_dir: the write goes
+        to a `__tmp` sibling first (localCheckpoint materializes the
+        input before the live dir moves), then lands via renames — a
+        crash at any point leaves committed state recoverable, where a
+        plain overwrite would delete it before the replacement
+        exists."""
+        self._safe_replace_dir(kind, df, epoch)
 
     # -- reads --
     def _epochs(self, kind: str, up_to: int) -> list[int]:
@@ -466,7 +530,7 @@ class StateStore:
             return []
         out = []
         for name in os.listdir(d):
-            if name.startswith("e_"):
+            if name.startswith("e_") and name[2:].isdigit():
                 e = int(name[2:])
                 if e <= up_to and os.path.exists(
                     os.path.join(d, name, "_SUCCESS")
@@ -524,7 +588,7 @@ class StateStore:
         if len(eps) <= 1:
             return 0
         merged = self.read_deltas(kind, epoch)
-        self.rewrite(kind, merged, epoch)
+        self._safe_replace_dir(kind, merged, epoch)
         removed = 0
         for e in eps:
             if e != epoch:
