@@ -258,6 +258,45 @@ def test_mixed_layout_chain(spark, tmp_path):
     assert _snap_rows(store, 2) == [("b1", 1), ("c0", 2), ("d0", 3)]
 
 
+def test_safe_replace_crash_recovery(spark, tmp_path):
+    """_recover_replacements finishes or rolls back an interrupted
+    dir replacement: a complete __tmp with the final dir missing rolls
+    FORWARD; an orphaned __old with no final dir rolls BACK; stale
+    leftovers beside a live final dir are dropped."""
+    import shutil as sh
+
+    wd = str(tmp_path / "wd")
+    store = StateStore(spark, wd)
+    store.write("frontier", _frontier_df(spark, [("a0", 0)]), 0)
+    d0 = os.path.join(wd, "frontier", "e_00000")
+
+    # crash AFTER final was moved aside and tmp completed: roll forward
+    sh.copytree(d0, d0 + "__tmp")
+    os.rename(d0, d0 + "__old")
+    # (simulated new content: tmp is the replacement)
+    store2 = StateStore(spark, wd)
+    assert _snap_rows(store2, 0) == [("a0", 0)]
+    assert os.path.isdir(d0)
+    assert not os.path.exists(d0 + "__tmp")
+    assert not os.path.exists(d0 + "__old")
+
+    # crash BEFORE tmp completed (no _SUCCESS): tmp dropped, old rolls back
+    os.makedirs(d0 + "__tmp")  # incomplete tmp, no _SUCCESS
+    os.rename(d0, d0 + "__old")
+    store3 = StateStore(spark, wd)
+    assert _snap_rows(store3, 0) == [("a0", 0)]
+    assert not os.path.exists(d0 + "__tmp")
+    assert not os.path.exists(d0 + "__old")
+
+    # stale leftovers beside a live final dir are dropped
+    sh.copytree(d0, d0 + "__old")
+    os.makedirs(d0 + "__tmp")
+    store4 = StateStore(spark, wd)
+    assert _snap_rows(store4, 0) == [("a0", 0)]
+    assert not os.path.exists(d0 + "__tmp")
+    assert not os.path.exists(d0 + "__old")
+
+
 @pytest.fixture(scope="module")
 def corpus(spark):
     return make_corpus(
