@@ -133,6 +133,16 @@ class CrawlConfig:
     frontier_mode: str = "auto"
     frontier_mor_min_rows: int = 4_000_000
     frontier_mor_max_churn: float = 0.25
+    # Churn-volume MOR compaction triggers, checked after every epoch
+    # alongside the epoch-count trigger (compact_every).  At the
+    # 10^10 design point the RIGHT trigger is accumulated delta
+    # volume, not epoch count: the read-side tombstone join widens
+    # with total accumulated leaves, so a low-churn crawl can safely
+    # run hundreds of epochs per compaction while a high-churn one
+    # must fold sooner.  Chain length is the metadata-walk backstop
+    # (bounds the multi-dir scan's file listing); 0 disables either.
+    frontier_compact_max_chain: int = 64
+    frontier_compact_delta_bytes: int = 0
     # Ranking salt fan-out for the two-phase per-host top-k.
     rank_salts: int = 8
     base_url: str | None = None

@@ -67,6 +67,16 @@ class EpochResult:
     # whether the committed robots table carries any disallow rules —
     # lets the next epoch skip the disallowed-branch bookkeeping
     has_disallow: bool = True
+    # commit layout the frontier write actually used ("full" | "mor" |
+    # "sharded") — cfg "auto" resolves per epoch before the write
+    frontier_mode_used: str = "full"
+    # enter+leave row churn of this epoch's frontier commit: exact in
+    # MOR mode (delta meta), scheduled+admitted estimate otherwise.
+    # Persisted in the manifest so the auto policy's churn gate
+    # survives full-rewrite epochs instead of resetting to "unknown"
+    # (which let a persistently-high-churn frontier oscillate
+    # mor/full every other epoch)
+    frontier_churn: int | None = None
     durations_ms: dict[str, int] = field(default_factory=dict)
 
     @property
@@ -412,11 +422,22 @@ def run_epoch(
         # latency — large frontier, low churn fraction, dedup on
         if prev_size is None:
             prev_size = frontier.count()
-        meta_prev = store._mor_meta("frontier", prev)
-        churn_ok = True
-        if meta_prev is not None:
-            churn = meta_prev["n_enter"] + meta_prev["n_leave"]
-            churn_ok = churn <= cfg.frontier_mor_max_churn * max(prev_size, 1)
+        # last epoch's churn comes from the manifest (persisted by
+        # job.step regardless of commit mode); the MOR delta meta is
+        # only the fallback for pre-churn-chain checkpoints
+        man_churn = None
+        if int(man.get("epoch", -1)) == prev and "frontier_churn" in man:
+            man_churn = int(man["frontier_churn"])
+        if man_churn is None:
+            meta_prev = store._mor_meta("frontier", prev)
+            if meta_prev is not None:
+                man_churn = int(meta_prev["n_enter"]) + int(
+                    meta_prev["n_leave"]
+                )
+        churn_ok = (
+            man_churn is None
+            or man_churn <= cfg.frontier_mor_max_churn * max(prev_size, 1)
+        )
         frontier_mode = (
             "mor"
             if (
@@ -426,6 +447,7 @@ def run_epoch(
             )
             else "full"
         )
+    res.frontier_mode_used = frontier_mode
     if frontier_mode == "mor":
         # merge-on-read commit (what "auto" picks in the
         # large-frontier / low-churn regime): persist ONLY the churn —
@@ -464,9 +486,14 @@ def run_epoch(
             prev_size = frontier.count()
         if enters is None and leaves is None:
             res.frontier_size = prev_size
+            res.frontier_churn = 0
         else:
             res.frontier_size = store.write_mor_delta(
                 "frontier", enters, leaves, epoch, prev_size
+            )
+            meta_now = store._mor_meta("frontier", epoch)
+            res.frontier_churn = int(meta_now["n_enter"]) + int(
+                meta_now["n_leave"]
             )
     elif frontier_mode == "sharded":
         # shard-selective commit: only shards touched by leavers
@@ -781,6 +808,12 @@ def run_epoch(
         if obs_sched is not None
         else 0
     )
+    if res.frontier_churn is None:
+        # full/sharded commit: leaves ≈ scheduled (disallowed ride in
+        # res.dead), enters ≈ admitted + retries — a free estimate off
+        # counts already observed, accurate enough for the auto
+        # policy's churn-fraction gate
+        res.frontier_churn = res.scheduled + res.new_requests
 
     total_ms = int((time.monotonic() - t_all) * 1000)
     metrics_rows = [

@@ -74,8 +74,82 @@ class CrawlJob:
         self._hook("prepare_for_start_post", self)
         # crash cleanup: drop partial epochs beyond the committed one
         self.store.prune_beyond(self.store.last_epoch())
+        self._reconcile_pending()
         self._bootstrap_robots()
         self._hook("init", self)
+
+    def _reconcile_pending(self) -> None:
+        """Heal a crash inside insert_requests_df / retry_failed.
+
+        Both ops mutate several state dirs non-atomically; each sets a
+        ``pending_op`` manifest marker before the first rewrite and
+        clears it in the same atomic manifest write as its size-chain
+        update.  Seeing the marker at restore therefore means an
+        unknown subset of the rewrites landed:
+
+        - ``retry_failed``: retried rows may sit in BOTH the frontier
+          and the failed deltas — a repeat retry_failed would then
+          insert duplicate url_keys, violating the MOR unique-key
+          tombstone assumption.  Heal: anti-join every failed delta
+          against the current frontier keys (exact post-op state).
+        - ``insert_requests``: admitted rows may sit in the frontier
+          without their seen rows (a re-seed would re-admit them) or
+          without the Bloom superset update.  Heal: backfill the
+          missing seen rows (+ seen_shards fold when bloom is on).
+
+        Either way the manifest ``frontier_size`` may not reflect the
+        rewritten frontier, so the O(1) chain is dropped in the same
+        atomic write that clears the marker — the next epoch recounts
+        once.  Every heal is idempotent and a no-op on tables the
+        crash didn't touch.  This runs a couple of Spark jobs, but
+        only on the restore immediately after such a crash."""
+        op = self.store.manifest().get("pending_op")
+        if not op:
+            return
+        epoch = max(self.store.last_epoch(), 0)
+        frontier = self.store.read_snapshot("frontier", epoch, FRONTIER_SCHEMA)
+        if op == "retry_failed" and frontier is not None:
+            fkeys = frontier.select("url_key")
+            for e in self.store._epochs("failed", epoch):
+                delta = self.store.read_delta_single("failed", e, FAILED_SCHEMA)
+                self.store.rewrite(
+                    "failed", delta.join(fkeys, "url_key", "left_anti"), e
+                )
+        elif op == "insert_requests" and frontier is not None:
+            from spider_man_spark.plans.epoch import _seen_rows
+
+            seen = self.store.read_deltas("seen", epoch, SEEN_SCHEMA)
+            missing = frontier.join(
+                seen.select("url_key"), "url_key", "left_anti"
+            )
+            new_seen = _seen_rows(
+                missing, self.cfg.bloom_shards, epoch
+            ).cache()
+            if new_seen.count():
+                prev_seen = self.store.read_delta_single(
+                    "seen", epoch, SEEN_SCHEMA
+                )
+                self.store.rewrite(
+                    "seen", prev_seen.unionByName(new_seen), epoch
+                )
+                if self.cfg.bloom_enabled:
+                    prev_shards = self.store.read_snapshot(
+                        "seen_shards", epoch
+                    )
+                    delta = build_seen_shards(
+                        new_seen,
+                        self.cfg.bloom_shards,
+                        self.cfg.bloom_shard_bits,
+                        epoch,
+                    )
+                    self.store.rewrite(
+                        "seen_shards",
+                        merge_seen_shards(prev_shards, delta, epoch),
+                        epoch,
+                    )
+            new_seen.unpersist()
+        self.store.commit(frontier_size=None, frontier_churn=None,
+                          pending_op=None)
 
     def _bootstrap_robots(self) -> None:
         """Seed per-host politeness state by FETCHING and PARSING each
@@ -154,6 +228,13 @@ class CrawlJob:
         admitted = dedup_candidates(cand, seen) if self.cfg.dedup else cand
         admitted = admitted.cache()
         n = admitted.count()
+        # pending-op marker: the frontier/seen/seen_shards rewrites
+        # below are separate non-atomic steps; the marker is cleared in
+        # the SAME manifest write as the size-chain update, so a crash
+        # anywhere in between is detected and reconciled at restore
+        # (_reconcile_pending) instead of silently skewing the O(1)
+        # size chain or leaving admitted rows without seen rows
+        self.store.commit(pending_op="insert_requests")
         frontier = self.store.read_snapshot("frontier", epoch, FRONTIER_SCHEMA)
         self.store.rewrite(
             "frontier", frontier.unionByName(admitted.select(
@@ -180,13 +261,16 @@ class CrawlJob:
                 merge_seen_shards(prev_shards, delta, epoch),
                 epoch,
             )
+        # ONE atomic commit: epoch bootstrap, the O(1) size-chain
+        # update (admitted keys are seen-deduped, so +n is exact), and
+        # the pending-op clear land together or not at all
+        final_kv: dict[str, Any] = {"pending_op": None}
         if self.store.last_epoch() < 0:
-            self.store.commit(epoch=0, job_name=self.cfg.job_name)
-        # keep the O(1) frontier-size chain exact across seed inserts
-        # (admitted keys are seen-deduped, so they're all new rows)
+            final_kv.update(epoch=0, job_name=self.cfg.job_name)
         m_size = self.store.manifest().get("frontier_size")
         if m_size is not None:
-            self.store.commit(frontier_size=int(m_size) + n)
+            final_kv["frontier_size"] = int(m_size) + n
+        self.store.commit(**final_kv)
         admitted.unpersist()
         return n
 
@@ -264,12 +348,34 @@ class CrawlJob:
             # O(1) size chain for the auto/mor frontier policy — saves
             # the bootstrap count after full-rewrite epochs
             frontier_size=res.frontier_size,
+            # churn chain for the auto policy's mor gate — persisted
+            # regardless of commit mode so a full-rewrite epoch doesn't
+            # reset the gate to "unknown" (mor/full oscillation)
+            frontier_churn=res.frontier_churn,
         )
         if self.cfg.compact_every and epoch % self.cfg.compact_every == 0:
             self.store.compact("seen", epoch)
             if self.cfg.frontier_mode != "full":
                 # bound the MOR tombstone chain / sharded epoch-dir
                 # walk the same way the seen-delta union is bounded
+                self.store.compact_snapshot("frontier", epoch)
+        elif self.cfg.frontier_mode != "full" and (
+            self.cfg.frontier_compact_max_chain
+            or self.cfg.frontier_compact_delta_bytes
+        ):
+            # churn-volume trigger: fold the MOR chain when its
+            # accumulated delta bytes (the tombstone-join width proxy)
+            # or dir count crosses the configured bound — the
+            # epoch-count trigger alone under-compacts high-churn
+            # crawls and over-compacts low-churn ones
+            chain, nbytes = self.store.mor_chain_stats("frontier", epoch)
+            if (
+                self.cfg.frontier_compact_max_chain
+                and chain >= self.cfg.frontier_compact_max_chain
+            ) or (
+                self.cfg.frontier_compact_delta_bytes
+                and nbytes >= self.cfg.frontier_compact_delta_bytes
+            ):
                 self.store.compact_snapshot("frontier", epoch)
         self._last_frontier_size = res.frontier_size
         return res
@@ -346,13 +452,16 @@ class CrawlJob:
         ).cache()
         n = rows.count()
         if n:
+            # pending-op marker (see insert_requests_df): the frontier
+            # rewrite, the failed-delta rewrites, and the size-chain
+            # update are non-atomic; a crash in between would leave
+            # retried rows in BOTH frontier and failed — a repeat
+            # retry_failed would then duplicate url_keys, violating
+            # the MOR unique-key tombstone assumption.  The marker is
+            # cleared only in the final commit, so restore reconciles.
+            self.store.commit(pending_op="retry_failed")
             frontier = self.store.read_snapshot("frontier", epoch, FRONTIER_SCHEMA)
             self.store.rewrite("frontier", frontier.unionByName(rows), epoch)
-            # keep the O(1) frontier-size chain exact (dead-lettered
-            # rows are disjoint from the live frontier, so +n is exact)
-            m_size = self.store.manifest().get("frontier_size")
-            if m_size is not None:
-                self.store.commit(frontier_size=int(m_size) + n)
             # rewrite the failed deltas minus the retried rows
             for e in self.store._epochs("failed", epoch):
                 delta = self.spark.read.parquet(
@@ -362,6 +471,14 @@ class CrawlJob:
                     rows.select("url_key"), "url_key", "left_anti"
                 )
                 self.store.rewrite("failed", kept, e)
+            # O(1) size-chain update (+n is exact: dead-lettered rows
+            # are disjoint from the live frontier) atomically with the
+            # pending-op clear
+            final_kv: dict[str, Any] = {"pending_op": None}
+            m_size = self.store.manifest().get("frontier_size")
+            if m_size is not None:
+                final_kv["frontier_size"] = int(m_size) + n
+            self.store.commit(**final_kv)
         rows.unpersist()
         return n
 

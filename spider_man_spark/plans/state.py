@@ -91,7 +91,13 @@ class StateStore:
                 continue
             for name in os.listdir(d):
                 p = os.path.join(d, name)
-                if name.endswith("__tmp"):
+                if name.endswith("__shtmp"):
+                    # interrupted sharded-snapshot build (see
+                    # write_sharded_snapshot): never roll forward —
+                    # without its final shards.json the dir would read
+                    # as a full snapshot of only the dirty shards
+                    shutil.rmtree(p, ignore_errors=True)
+                elif name.endswith("__tmp"):
                     final = p[: -len("__tmp")]
                     if (
                         os.path.exists(os.path.join(p, "_SUCCESS"))
@@ -135,8 +141,16 @@ class StateStore:
             return json.load(f)
 
     def commit(self, **kv) -> None:
+        """Merge ``kv`` into the manifest atomically; a ``None`` value
+        DELETES its key (used to drop the O(1) frontier_size chain or
+        clear a pending-op marker in the same atomic write that
+        records the rest of the commit)."""
         m = self.manifest()
-        m.update(kv)
+        for k, v in kv.items():
+            if v is None:
+                m.pop(k, None)
+            else:
+                m[k] = v
         p = os.path.join(self.workdir, "manifest.json")
         tmp = p + ".tmp"
         with open(tmp, "w") as f:
@@ -200,17 +214,28 @@ class StateStore:
         O(churn), not O(|snapshot|).  Returns the total snapshot size
         (sum of the updated counts), so callers get the full-frontier
         cardinality without any extra job over the clean shards."""
+        # Commit protocol: build the WHOLE dir (parquet + shards.json)
+        # under a tmp name, then atomically rename.  Writing shards.json
+        # after Spark's _SUCCESS into the live path would open a crash
+        # window where _epochs sees a committed dir but readers find no
+        # meta and treat the dirty shards as a FULL snapshot.  The tmp
+        # suffix is distinct from _safe_replace_dir's `__tmp` on
+        # purpose: that one is rolled FORWARD on recovery when _SUCCESS
+        # exists, which would resurrect exactly the meta-less window;
+        # `__shtmp` leftovers are only ever deleted.
         path = os.path.join(self.workdir, kind, _edir(epoch))
-        df.write.mode("overwrite").partitionBy(_FSHARD).parquet(path)
+        tmp = path + "__shtmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.mode("overwrite").partitionBy(_FSHARD).parquet(tmp)
         written: dict[int, int] = {}
         if any(
-            name.startswith(f"{_FSHARD}=") for name in os.listdir(path)
+            name.startswith(f"{_FSHARD}=") for name in os.listdir(tmp)
         ):
             # per-shard written counts: a count over freshly-written
             # parquet is served from footer metadata (O(files), not
             # O(rows)) and is bounded by |dirty| result rows
             rows = (
-                self.spark.read.parquet(path)
+                self.spark.read.parquet(tmp)
                 .groupBy(_FSHARD)
                 .count()
                 .collect()
@@ -224,8 +249,10 @@ class StateStore:
             "dirty": sorted(int(k) for k in dirty),
             "counts": {str(k): v for k, v in sorted(counts.items())},
         }
-        with open(os.path.join(path, SHARD_META), "w") as f:
+        with open(os.path.join(tmp, SHARD_META), "w") as f:
             json.dump(meta, f)
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(tmp, path)
         return sum(counts.values())
 
     def write_mor_delta(
@@ -343,8 +370,11 @@ class StateStore:
         # file path — plan size stays O(1) in the delta-chain length
         # instead of an N-way union (the chain is re-read every epoch,
         # so plan growth compounds)
+        # \d+ (not \d{5}): _edir's {epoch:05d} is a MINIMUM width, so
+        # epoch >= 100000 produces 6-digit tags — a fixed-width match
+        # would parse them to null and silently drop re-entered keys
         epoch_tag = F.regexp_extract(
-            F.input_file_name(), r"/e_(\d{5})/(?:enter|leave)/", 1
+            F.input_file_name(), r"/e_(\d+)/(?:enter|leave)/", 1
         ).cast("int")
         total_leaves = 0
         enter_dirs: list[str] = []
@@ -386,6 +416,28 @@ class StateStore:
         if schema is not None:
             out = out.select(*[f.name for f in schema.fields])
         return out
+
+    def mor_chain_stats(self, kind: str, up_to: int) -> tuple[int, int]:
+        """(chain_len, delta_bytes) of the MOR delta chain above the
+        newest full/sharded base — a driver-side metadata walk over
+        O(chain) dirs, no Spark job.  Drives the churn-volume
+        compaction triggers (frontier_compact_max_chain /
+        frontier_compact_delta_bytes)."""
+        eps = self._epochs(kind, up_to)
+        chain = 0
+        nbytes = 0
+        for e in reversed(eps):
+            if self._mor_meta(kind, e) is None:
+                break
+            chain += 1
+            d = os.path.join(self.workdir, kind, _edir(e))
+            for root, _dirs, files in os.walk(d):
+                for fn in files:
+                    try:
+                        nbytes += os.path.getsize(os.path.join(root, fn))
+                    except OSError:
+                        pass
+        return chain, nbytes
 
     def _shard_meta(self, kind: str, epoch: int) -> dict | None:
         p = os.path.join(self.workdir, kind, _edir(epoch), SHARD_META)
@@ -606,5 +658,10 @@ class StateStore:
             if not os.path.isdir(d):
                 continue
             for name in os.listdir(d):
-                if name.startswith("e_") and int(name[2:]) > epoch:
+                # same digit guard as _epochs: a leftover e_NNNNN__tmp /
+                # __old dir that _recover_replacements failed to remove
+                # (ignore_errors rmtree) must not crash resume
+                if name.startswith("e_") and name[2:].isdigit() and int(
+                    name[2:]
+                ) > epoch:
                     shutil.rmtree(os.path.join(d, name), ignore_errors=True)
