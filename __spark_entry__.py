@@ -392,6 +392,38 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(emb, qvec, k=10, probe_hamming=2)
 
 
+def q_ann_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-PARTITIONED ANN storage (layout-as-index): the corpus is
+    written ``partitionBy(bucket)`` (operators/similarity.
+    write_bucketed_corpus) and the probe becomes a literal
+    bucket-IN-list that Catalyst prunes at file-listing time — the
+    at-scale single-query path where latency is O(probed buckets),
+    not O(corpus).  Same planes + Hamming<=2 probe set as
+    ann_lsh_topk, so the result — and the DuckDB oracle — are
+    identical by construction (pytest proves the equivalence; this
+    gate proves it against DuckDB end-to-end).  The bucketed copy
+    lands in a fresh tempdir (written per call; the returned frame
+    reads it lazily, so it is not cleaned up here)."""
+    import tempfile
+
+    from spider_man_spark.operators.similarity import (
+        ann_topk_lsh_partitioned,
+        random_planes,
+        write_bucketed_corpus,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    planes = random_planes(len(qvec))
+    path = tempfile.mkdtemp(prefix="ann_part_gate_") + "/corpus"
+    write_bucketed_corpus(emb, path, planes=planes)
+    return ann_topk_lsh_partitioned(
+        spark, path, qvec, k=10, planes=planes, probe_hamming=2
+    )
+
+
 def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 12) -> str:
     """DuckDB mirror of q_ann_lsh_topk: the seeded planes are embedded
     as literal DOUBLE[] lists (repr() round-trips exactly), bucket bit i
@@ -659,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_partitioned_topk": q_ann_partitioned_topk,
         "ann_batch_topk": q_ann_batch_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "global_topk": q_global_topk,
@@ -889,6 +922,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
+        # identical semantics and probe set as ann_lsh_topk —
+        # the partitioned layout must not change the answer
+        "ann_partitioned_topk": _ann_lsh_oracle_sql(),
         "ann_batch_topk": _ann_batch_oracle_sql(),
         "embedding_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)

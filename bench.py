@@ -17,9 +17,13 @@ Env:
                        digest — the two-cluster-size evidence, now in
                        the default artifact.  2 vs 8 because the host's
                        aggregate CPU is measured near-linear only up to
-                       ~8 busy cores (BASELINE.md round-2 notes).  One
-                       extra bloom-ON local[8] leg is the seen-layer
-                       at-load A/B (digest equivalence + overhead).
+                       ~8 busy cores (BASELINE.md round-2 notes).
+                       Every leg carries a sha256 calibration stamp;
+                       legs >30% off the session median are marked
+                       cal_degraded and excluded from pair selection.
+                       The bloom seen-layer A/B is a paired same-JVM
+                       alternating-epoch leg (digest equivalence +
+                       overhead, drift-immune by construction).
   SPARK_GRAFT_SCALING_BUDGET_S  wall budget for the scaling section
                        (default 1500): pair 2 is skipped when the
                        budget is spent (reported as pairs_run).
@@ -36,9 +40,12 @@ Env:
                        1M corpus multi-probe bucket join + recall
                        subsample; default ON).
   SPARK_GRAFT_FRONTIER "0" -> skip the frontier write-path legs
-                       (sharded O(churn) commits vs full snapshot
-                       rewrite at a 10x frontier-to-budget ratio;
-                       default ON, 3 short legs).
+                       (MOR O(churn) commits vs full snapshot rewrite
+                       at a 10x frontier-to-budget ratio, PLUS the
+                       auto-policy trigger-point pair: a 4.2M-row
+                       standing frontier where frontier_mode="auto"
+                       must flip to MOR on its own, digest-checked
+                       against a forced-full control; default ON).
   SPARK_GRAFT_SUSTAIN  "1" -> add the 10-epoch long-crawl flatness leg
                        (per-epoch latency vs growing seen set, live
                        compaction; off by default — BASELINE.md
@@ -294,6 +301,27 @@ def _sha_burn(_n):
     return c
 
 
+def _quick_cal(seconds: float = 1.0) -> int:
+    """Single-core sha256 rate (hashes/s) measured in THIS process for
+    ``seconds`` — the per-leg drift stamp.  Absolute CPU speed on this
+    VM drifts up to ~2.5x over minutes (BASELINE.md round-2): stamping
+    a calibration next to every timed leg lets the artifact FLAG legs
+    measured in a degraded window instead of silently averaging them
+    into the result (round-4 lesson: one collapsed local[8] leg made
+    the adjacent bloom A/B read 0.99x and the hw-normalized efficiency
+    1.166 — both physically meaningless)."""
+    import hashlib
+
+    h = hashlib.sha256(b"x" * 64)
+    t0 = time.monotonic()
+    c = 0
+    while time.monotonic() - t0 < seconds:
+        for _ in range(1000):
+            h = hashlib.sha256(h.digest())
+        c += 1000
+    return int(c / (time.monotonic() - t0))
+
+
 def _cpu_parallel_ceiling() -> dict:
     """Measure this HOST's parallel-compute ceiling: per-core sha256
     throughput at 2 vs 8 concurrent processes — the same core counts
@@ -315,6 +343,92 @@ def _cpu_parallel_ceiling() -> dict:
         "per_core_hashes_8p": int(rates[8]),
         "hw_parallel_ceiling": round(rates[8] / rates[2], 3),
     }
+
+
+def bloom_ab_bench(cores: int, corpus_path: str | None,
+                   epochs: int = 5) -> dict:
+    """Bloom seen-layer A/B as a PAIRED SAME-JVM alternating-epoch
+    comparison: one crawl whose ``cfg.bloom_enabled`` flips per epoch
+    (run_epoch re-reads the mutable config), so every ON epoch is
+    ratioed against its adjacent OFF epochs inside the same drift
+    window.  This is the protocol that resolved the 3% stage-timing
+    effect; the previous subprocess A/B inherited whichever drift
+    window the budget left it and once reported bloom-ON as *faster*
+    (0.99x — noise, not physics).  Pattern: off (warmup, excluded),
+    then on/off alternating.  Also reports the seen digest over the
+    first SCALE_EPOCHS epochs, which must equal the bloom-off scaling
+    legs' digest (the layer is behavior-neutral: FP-free probe with an
+    exact backstop)."""
+    from spider_man_spark.config import CrawlConfig
+    from spider_man_spark.plans.job import CrawlJob
+    from spider_man_spark.session import get_spark
+
+    spark = get_spark(
+        f"bench-bloomab-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=64,
+        extra_conf={
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+            "spark.locality.wait": "0",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = spark.read.parquet(corpus_path)
+    wd = tempfile.mkdtemp(prefix="bench_bloomab_")
+    try:
+        job = CrawlJob(
+            spark,
+            CrawlConfig(
+                workdir=wd, tokens_per_epoch=SCALE_TOKENS,
+                max_epochs=epochs + 1, rank_salts=8,
+                shuffle_partitions=SCALE_SHUFFLE_PARTITIONS,
+                fetched_storage="DISK_ONLY",
+                bloom_enabled=False,
+            ),
+            corpus=corpus,
+        )
+        job.insert_requests_df(
+            _seed_df(spark, SCALE_CRAWL["n_hosts"], SCALE_SEEDS_PER_HOST)
+        )
+        spark.range(256).repartition(128).mapInPandas(
+            lambda it: it, schema="id long"
+        ).count()
+        epoch_ms = []
+        pattern = []
+        for i in range(epochs):
+            # epoch index 0 is the warmup (off); then on,off,on,off...
+            on = i % 2 == 1
+            job.cfg.bloom_enabled = on
+            pattern.append("on" if on else "off")
+            r = job.step()
+            epoch_ms.append(r.durations_ms["epoch"])
+        from pyspark.sql import functions as F
+
+        seen = job.store.read_deltas("seen", SCALE_EPOCHS)
+        total = seen.select(
+            F.sum(F.xxhash64("epoch", "url_key").cast("decimal(38,0)"))
+            .alias("d")
+        ).first().d
+        ratios = []
+        for i in range(1, epochs):
+            if pattern[i] != "on":
+                continue
+            for j in (i - 1, i + 1):
+                if 1 <= j < epochs and pattern[j] == "off":
+                    ratios.append(round(epoch_ms[i] / epoch_ms[j], 3))
+        ratios.sort()
+        med = ratios[len(ratios) // 2] if ratios else None
+        return {
+            "protocol": "paired same-JVM alternating epochs",
+            "pattern": pattern,
+            "epoch_ms": epoch_ms,
+            "on_over_off_ratios": ratios,
+            "overhead_factor_median": med,
+            "digest_epochs3": hex(int(total) & 0xFFFFFFFFFFFFFFFF),
+        }
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+        spark.stop()
 
 
 def scaling_bench(budget_s: float = 1500.0) -> dict:
@@ -363,59 +477,93 @@ def scaling_bench(budget_s: float = 1500.0) -> dict:
         pairs = []
         runs = []
         for _round in range(2):
+            # per-leg drift stamp: single-core sha256 rate measured
+            # immediately before the leg launches
+            c0 = _quick_cal()
             lo = _crawl_bench_subprocess("local[2]", 2, scale=True,
                                          corpus_path=cpath)
+            lo["cal_rate"] = c0
+            c1 = _quick_cal()
             hi = _crawl_bench_subprocess("local[8]", 8, scale=True,
                                          corpus_path=cpath)
+            hi["cal_rate"] = c1
             runs += [lo, hi]
             pairs.append((lo, hi))
             if time.monotonic() - t_start > budget_s:
                 break
         # bloom at-load A/B LAST (the efficiency pairs get the budget
-        # first), immediately after a bloom-off local[8] leg so the
-        # comparison stays inside one drift window
-        bloom_on = _crawl_bench_subprocess(
-            "local[8]", 8, scale=True, corpus_path=cpath, bloom=True
+        # first) — paired same-JVM alternating epochs, so it carries
+        # its own drift immunity instead of inheriting a window
+        ab_cal = _quick_cal()
+        ab_out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--bloom-ab-leg", "8", cpath],
+            capture_output=True, text=True, check=True,
+            env={**os.environ,
+                 "SPARK_DRIVER_MEM": os.environ.get(
+                     "SPARK_DRIVER_MEM", "32g")},
         )
+        bloom_ab = json.loads(ab_out.stdout.strip().splitlines()[-1])
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
+    # degraded-window flags: a leg whose calibration deviates >30%
+    # from the session median was measured on visibly different
+    # hardware throughput — its numbers are recorded but must not be
+    # averaged/selected into the headline, and the artifact says so
+    cals = sorted(r["cal_rate"] for r in runs) + [ab_cal]
+    med_cal = sorted(cals)[len(cals) // 2]
+    for r in runs:
+        r["cal_degraded"] = abs(r["cal_rate"] / med_cal - 1) > 0.30
+    healthy = [
+        p for p in pairs
+        if not (p[0]["cal_degraded"] or p[1]["cal_degraded"])
+    ]
+    candidates = healthy or pairs
     best = max(
-        pairs,
+        candidates,
         key=lambda p: p[1]["fetched_urls_per_sec"] / p[0]["fetched_urls_per_sec"],
     )
     lo, hi = best
     eff = (hi["fetched_urls_per_sec"] / lo["fetched_urls_per_sec"]) / 4.0
     cal = _cpu_parallel_ceiling()
+    # ceiling is an upper bound: a measured value > 1 is pure
+    # calibration-window drift (hardware can't amplify per-core
+    # speed with MORE contention), so clamp the normalizer at 1.
+    # A normalized efficiency > 1 is likewise impossible — report it
+    # clamped with calibration_invalid=true instead of printing a
+    # physically-meaningless number (round-4: 1.166)
+    norm_raw = eff / min(cal["hw_parallel_ceiling"], 1.0)
     return {
         "protocol": (
-            "interleaved local[2]/local[8], best adjacent pair; "
-            "one bloom-ON local[8] leg for the at-load digest/overhead A/B"
+            "interleaved local[2]/local[8], best healthy adjacent pair "
+            "(per-leg sha256 calibration stamps; >30% deviation from "
+            "session median => cal_degraded, excluded from selection); "
+            "bloom A/B is paired same-JVM alternating epochs"
         ),
         "pairs_run": len(pairs),
+        "pairs_healthy": len(healthy),
+        "chosen_pair_degraded": best not in healthy,
+        "cal_median": med_cal,
         "runs": runs,
         "n_cores_2": lo,
         "n_cores_8": hi,
         "efficiency_N_to_4N": round(eff, 3),
         "hw_calibration": cal,
-        # ceiling is an upper bound: a measured value > 1 is pure
-        # calibration-window drift (hardware can't amplify per-core
-        # speed with MORE contention), so clamp the normalizer at 1
-        "efficiency_normalized_to_hw": round(
-            eff / min(cal["hw_parallel_ceiling"], 1.0), 3
-        ),
+        "efficiency_normalized_to_hw": round(min(norm_raw, 1.0), 3),
+        "efficiency_normalized_raw": round(norm_raw, 3),
+        "calibration_invalid": norm_raw > 1.0,
         "schedule_digest_match": all(
             r["schedule_digest"] == runs[0]["schedule_digest"] for r in runs
         ),
         "bloom_ab": {
-            "on_fetched_urls_per_sec": bloom_on["fetched_urls_per_sec"],
-            "off_fetched_urls_per_sec": runs[-1]["fetched_urls_per_sec"],
-            "overhead_factor_at_this_sf": round(
-                runs[-1]["fetched_urls_per_sec"]
-                / bloom_on["fetched_urls_per_sec"],
-                2,
-            ),
+            **bloom_ab,
+            "cal_rate": ab_cal,
+            "cal_degraded": abs(ab_cal / med_cal - 1) > 0.30,
+            "overhead_factor_at_this_sf": bloom_ab[
+                "overhead_factor_median"
+            ],
             "digest_match_on_vs_off": (
-                bloom_on["schedule_digest"] == runs[0]["schedule_digest"]
+                bloom_ab["digest_epochs3"] == runs[0]["schedule_digest"]
             ),
         },
     }
@@ -482,7 +630,7 @@ def frontier_bench(
             lambda it: it, schema="id long"
         ).count()
         fdir = os.path.join(wd, "frontier")
-        epoch_ms, write_mb, sizes, sched = [], [], [], []
+        epoch_ms, write_mb, sizes, sched, modes = [], [], [], [], []
         for _ in range(epochs):
             b0 = _dir_bytes(fdir)
             r = job.step()
@@ -490,6 +638,7 @@ def frontier_bench(
             write_mb.append(round((_dir_bytes(fdir) - b0) / 1e6, 2))
             sizes.append(r.frontier_size)
             sched.append(r.scheduled)
+            modes.append(r.frontier_mode_used)
         from pyspark.sql import functions as F
 
         seen = job.store.read_deltas("seen", epochs)
@@ -501,6 +650,11 @@ def frontier_bench(
         steady = epoch_ms[1:]  # epoch 1 pays one-time cache warmup
         return {
             "mode": mode,
+            # what the engine actually committed per epoch — for
+            # mode="auto" this is the policy-flip evidence (the >=4M
+            # leg must read auto->mor; the policy branch is otherwise
+            # untestable end-to-end below its trigger point)
+            "epoch_modes": modes,
             "seeds": CRAWL["n_hosts"] * seeds_per_host,
             "tokens": tokens,
             "epochs": epochs,
@@ -610,6 +764,93 @@ def ann_bench(cores: int, n_corpus: int = 1_000_000,
         )
         hits = ann.intersect(brute).count()
         recall = round(hits / (200 * 10), 4)
+
+        # partitioned-storage leg: the corpus written PARTITIONED BY
+        # LSH bucket (the layout-as-index posture) — single-query
+        # latency must come from a few-partition scan, not a full
+        # corpus scan.  Evidence: files actually read per probe
+        # (input_file_name on the pruned scan) vs files in the table,
+        # plus identical top-k vs the computed-bucket path.
+        from spider_man_spark.operators.similarity import (
+            ann_topk_lsh,
+            ann_topk_lsh_partitioned,
+            write_bucketed_corpus,
+        )
+
+        planes_p = random_planes(dim, n_planes=10)  # 1024 buckets
+        pdir = tempfile.mkdtemp(
+            prefix="bench_ann_part_",
+            dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+        )
+        ppath = os.path.join(pdir, "corpus_bucketed")
+        try:
+            t0 = time.monotonic()
+            write_bucketed_corpus(corpus, ppath, planes=planes_p)
+            t_write = time.monotonic() - t0
+            files_total = sum(
+                1 for _r, _d, fs in os.walk(ppath)
+                for f in fs if f.endswith(".parquet")
+            )
+            qvecs = [
+                (int(r.vec_id), [float(x) for x in r.embedding])
+                for r in corpus.filter(
+                    F.col("vec_id").isin(list(range(0, 1000, 100)))
+                ).collect()
+            ]
+            equal = True
+            lat_part, lat_comp = [], []
+            for _vid, q in qvecs:
+                t0 = time.monotonic()
+                got_p = [
+                    (r.vec_id, r.cosine)
+                    for r in ann_topk_lsh_partitioned(
+                        spark, ppath, q, k=10, planes=planes_p,
+                        probe_hamming=1,
+                    ).collect()
+                ]
+                lat_part.append(time.monotonic() - t0)
+                t0 = time.monotonic()
+                got_c = [
+                    (r.vec_id, r.cosine)
+                    for r in ann_topk_lsh(
+                        corpus, q, k=10, planes=planes_p,
+                        probe_hamming=1,
+                    ).collect()
+                ]
+                lat_comp.append(time.monotonic() - t0)
+                equal = equal and got_p == got_c
+            import numpy as np
+
+            q = qvecs[0][1]
+            qbits = (planes_p @ np.asarray(q) > 0).astype(np.int64)
+            qbucket = int((qbits << np.arange(len(planes_p))).sum())
+            probe_buckets = [qbucket] + [
+                qbucket ^ (1 << i) for i in range(len(planes_p))
+            ]
+            files_scanned = (
+                spark.read.parquet(ppath)
+                .filter(F.col("bucket").isin(probe_buckets))
+                .select(F.input_file_name())
+                .distinct()
+                .count()
+            )
+            partitioned = {
+                "n_planes": 10,
+                "probe_hamming": 1,
+                "write_sec": round(t_write, 2),
+                "files_total": files_total,
+                "files_scanned_one_probe": files_scanned,
+                "scan_fraction": round(files_scanned / files_total, 4),
+                "latency_ms_partitioned_avg": int(
+                    1000 * sum(lat_part) / len(lat_part)
+                ),
+                "latency_ms_computed_avg": int(
+                    1000 * sum(lat_comp) / len(lat_comp)
+                ),
+                "topk_equal_vs_computed": equal,
+            }
+        finally:
+            shutil.rmtree(pdir, ignore_errors=True)
         return {
             "n_corpus": n_corpus,
             "n_queries": n_queries,
@@ -621,6 +862,7 @@ def ann_bench(cores: int, n_corpus: int = 1_000_000,
             "wall_sec": round(wall, 2),
             "queries_per_sec": round(n_queries / wall, 1),
             "recall_at_10_subsample": recall,
+            "partitioned": partitioned,
         }
     finally:
         spark.stop()
@@ -812,11 +1054,15 @@ def main() -> None:
     if len(sys.argv) == 3 and sys.argv[1] == "--ann-leg":
         print(json.dumps(ann_bench(int(sys.argv[2]))))
         return
-    if len(sys.argv) == 5 and sys.argv[1] == "--frontier-leg":
+    if len(sys.argv) == 4 and sys.argv[1] == "--bloom-ab-leg":
+        print(json.dumps(bloom_ab_bench(int(sys.argv[2]), sys.argv[3])))
+        return
+    if len(sys.argv) in (5, 6) and sys.argv[1] == "--frontier-leg":
+        kw = {"epochs": int(sys.argv[5])} if len(sys.argv) == 6 else {}
         print(
             json.dumps(
                 frontier_bench(
-                    int(sys.argv[2]), sys.argv[3], int(sys.argv[4])
+                    int(sys.argv[2]), sys.argv[3], int(sys.argv[4]), **kw
                 )
             )
         )
@@ -890,10 +1136,13 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_FRONTIER", "1") != "0":
         import subprocess
 
-        def _fleg(mode: str, sph: int) -> dict:
+        def _fleg(mode: str, sph: int, epochs: int | None = None) -> dict:
+            argv = [sys.executable, os.path.abspath(__file__),
+                    "--frontier-leg", str(cpus), mode, str(sph)]
+            if epochs is not None:
+                argv.append(str(epochs))
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--frontier-leg", str(cpus), mode, str(sph)],
+                argv,
                 capture_output=True, text=True, check=True,
                 env={**os.environ,
                      "SPARK_DRIVER_MEM": os.environ.get(
@@ -905,6 +1154,15 @@ def main() -> None:
             "mor_640k": _fleg("mor", 10000),
             "full_640k": _fleg("full", 10000),
             "mor_160k": _fleg("mor", 2500),
+            # auto-policy at its trigger point: 64 hosts x 65600 seeds
+            # = 4.2M-row standing frontier (>= frontier_mor_min_rows),
+            # 64k budget/epoch -> churn fraction ~0.03 <= 0.25, so the
+            # default "auto" must flip to MOR on its own — the one
+            # policy branch a sub-threshold crawl can never exercise.
+            # Digest is checked against a forced-full control at the
+            # same shape (identical schedule => the flip is free).
+            "auto_4m2": _fleg("auto", 65600, 5),
+            "full_4m2": _fleg("full", 65600, 5),
         }
 
     # scaling evidence is part of the DEFAULT artifact (round-2 verdict:
@@ -970,6 +1228,29 @@ def main() -> None:
             "epoch_ms_mor_160k": small["steady_epoch_ms"],
             "digest_match": on["schedule_digest"] == off["schedule_digest"],
         }
+        if "auto_4m2" in fb:
+            au, fu = fb["auto_4m2"], fb["full_4m2"]
+            compact["frontier"]["auto_4m2"] = {
+                # "auto->mor" iff every epoch above the threshold chose
+                # MOR on its own (epoch 1 included: the policy sees the
+                # 4.2M frontier immediately)
+                "mode": (
+                    "auto->mor"
+                    if all(m == "mor" for m in au["epoch_modes"])
+                    else "auto->" + "/".join(au["epoch_modes"])
+                ),
+                "digest_match_vs_full": (
+                    au["schedule_digest"] == fu["schedule_digest"]
+                ),
+                "epoch_ms_auto": au["epoch_ms"],
+                "epoch_ms_full": fu["epoch_ms"],
+                "write_mb_auto": au["frontier_write_mb"],
+                "write_mb_full": fu["frontier_write_mb"],
+                "io_ratio_full_over_auto": round(
+                    fu["steady_write_mb"] / max(au["steady_write_mb"], 0.01),
+                    1,
+                ),
+            }
     if "sustain" in result:
         su = result["sustain"]
         compact["sustain"] = {

@@ -103,6 +103,70 @@ def ann_topk_lsh(
     )
 
 
+def write_bucketed_corpus(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: np.ndarray | None = None,
+    dim: int | None = None,
+) -> None:
+    """Persist an embedded corpus PARTITIONED BY its LSH bucket — the
+    directory layout becomes the ANN index.  A probe then reads only
+    the probed buckets' partitions: Catalyst turns the bucket-IN-list
+    filter into PartitionFilters, so the scan lists and reads
+    O(probe-set) files instead of O(corpus) (the claim
+    :func:`ann_topk_lsh`'s docstring makes; this is the path that
+    delivers it).  One shuffle on bucket before the write keeps it to
+    one file per bucket."""
+    if planes is None:
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
+        planes = random_planes(dim)
+    out = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        rp_lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    out.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
+
+
+def ann_topk_lsh_partitioned(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: np.ndarray | None = None,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Single-query ANN top-k over a :func:`write_bucketed_corpus`
+    table: the probe set is a literal bucket-IN-list, pruned to those
+    partitions at file-listing time — per-query latency is O(probed
+    buckets), independent of corpus size.  Same semantics as
+    :func:`ann_topk_lsh` with the same planes (identical candidates,
+    identical top-k)."""
+    if planes is None:
+        planes = random_planes(len(query))
+    qbits = (planes @ np.asarray(query) > 0).astype(np.int64)
+    qbucket = int((qbits << np.arange(len(planes))).sum())
+    buckets = [
+        qbucket ^ m for m in _probe_masks(len(planes), probe_hamming)
+    ]
+    df = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
+    return (
+        df.select(
+            F.col(id_col),
+            cosine_sim_lit(F.col(vec_col), query).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def cosine_sim_cols(a: Column, b: Column) -> Column:
     """cosine(a, b) between two array columns — codegen end-to-end.
     Inputs are cast to double so per-element multiplies accumulate in

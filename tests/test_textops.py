@@ -15,10 +15,12 @@ from spider_man_spark.functions.text import with_text_features
 from spider_man_spark.operators.similarity import (
     ann_topk_lsh,
     ann_topk_lsh_batch,
+    ann_topk_lsh_partitioned,
     brute_force_dup_pairs,
     cosine_topk,
     embedding_dup_pairs,
     random_planes,
+    write_bucketed_corpus,
 )
 from spider_man_spark.operators.textdedup import (
     dedupe_exact,
@@ -207,3 +209,51 @@ def test_embedding_dup_pairs_lsh_vs_brute(spark, vectors):
     }
     assert brute == {(3, 7)}
     assert lsh == brute
+def test_ann_partitioned_equals_computed(spark, vectors, tmp_path):
+    """A bucket-partitioned corpus (write_bucketed_corpus) answers the
+    same top-k as the computed-bucket path with the same planes, AND
+    the probe reads only the probed buckets' files (partition pruning
+    at file-listing time — the docstring's at-scale latency claim)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    df, base = vectors
+    planes = random_planes(16, n_planes=8)
+    path = str(tmp_path / "bucketed")
+    write_bucketed_corpus(df, path, planes=planes)
+    total_files = sum(
+        1 for root, _d, files in os.walk(path)
+        for f in files if f.endswith(".parquet")
+    )
+    for qid in (3, 11, 25):
+        q = [float(x) for x in base[qid]]
+        want = [
+            (r.vec_id, r.cosine)
+            for r in ann_topk_lsh(
+                df, q, k=4, planes=planes, probe_hamming=1
+            ).collect()
+        ]
+        got = [
+            (r.vec_id, r.cosine)
+            for r in ann_topk_lsh_partitioned(
+                spark, path, q, k=4, planes=planes, probe_hamming=1
+            ).collect()
+        ]
+        assert got == want, f"qid {qid}"
+    # pruning evidence: the probed scan touches <= 9 bucket files
+    # (1 + 8 Hamming-1 probes) out of every written bucket
+    import numpy as np
+
+    q = [float(x) for x in base[3]]
+    qbits = (planes @ np.asarray(q) > 0).astype(np.int64)
+    qbucket = int((qbits << np.arange(len(planes))).sum())
+    buckets = [qbucket] + [qbucket ^ (1 << i) for i in range(8)]
+    scanned = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(buckets))
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert scanned <= 9 < total_files
