@@ -583,6 +583,7 @@ def _dir_bytes(path: str) -> int:
 def frontier_bench(
     cores: int, mode: str, seeds_per_host: int,
     epochs: int = 6, tokens: int = 1000,
+    max_chain: int = 0,
 ) -> dict:
     """Frontier-at-10^10 write-path evidence: a standing frontier ~10x
     the per-epoch budget (the bounded-budget long-crawl posture), with
@@ -620,6 +621,15 @@ def frontier_bench(
                 workdir=wd, tokens_per_epoch=tokens,
                 max_epochs=epochs + 2, rank_salts=8,
                 frontier_mode=mode,
+                # max_chain > 0: churn-volume compaction leg — fold
+                # the MOR chain by length instead of epoch count
+                # (compact_every off so the trigger under test is the
+                # only one firing)
+                **(
+                    {"frontier_compact_max_chain": max_chain,
+                     "compact_every": 0}
+                    if max_chain else {}
+                ),
             ),
             corpus=corpus,
         )
@@ -631,6 +641,7 @@ def frontier_bench(
         ).count()
         fdir = os.path.join(wd, "frontier")
         epoch_ms, write_mb, sizes, sched, modes = [], [], [], [], []
+        chain_dirs = []
         for _ in range(epochs):
             b0 = _dir_bytes(fdir)
             r = job.step()
@@ -639,6 +650,11 @@ def frontier_bench(
             sizes.append(r.frontier_size)
             sched.append(r.scheduled)
             modes.append(r.frontier_mode_used)
+            # epoch-dir count AFTER any compaction this step ran —
+            # the bounded-chain evidence for the max_chain trigger
+            chain_dirs.append(
+                len(job.store._epochs("frontier", job.store.last_epoch()))
+            )
         from pyspark.sql import functions as F
 
         seen = job.store.read_deltas("seen", epochs)
@@ -650,11 +666,16 @@ def frontier_bench(
         steady = epoch_ms[1:]  # epoch 1 pays one-time cache warmup
         return {
             "mode": mode,
+            "max_chain": max_chain,
             # what the engine actually committed per epoch — for
             # mode="auto" this is the policy-flip evidence (the >=4M
             # leg must read auto->mor; the policy branch is otherwise
             # untestable end-to-end below its trigger point)
             "epoch_modes": modes,
+            # frontier epoch-dir count after each step: with
+            # max_chain set this must saw-tooth (grow to the bound,
+            # fold, grow again) instead of growing without bound
+            "chain_dirs": chain_dirs,
             "seeds": CRAWL["n_hosts"] * seeds_per_host,
             "tokens": tokens,
             "epochs": epochs,
@@ -1057,8 +1078,12 @@ def main() -> None:
     if len(sys.argv) == 4 and sys.argv[1] == "--bloom-ab-leg":
         print(json.dumps(bloom_ab_bench(int(sys.argv[2]), sys.argv[3])))
         return
-    if len(sys.argv) in (5, 6) and sys.argv[1] == "--frontier-leg":
-        kw = {"epochs": int(sys.argv[5])} if len(sys.argv) == 6 else {}
+    if len(sys.argv) in (5, 6, 7) and sys.argv[1] == "--frontier-leg":
+        kw = {}
+        if len(sys.argv) >= 6:
+            kw["epochs"] = int(sys.argv[5])
+        if len(sys.argv) == 7:
+            kw["max_chain"] = int(sys.argv[6])
         print(
             json.dumps(
                 frontier_bench(
@@ -1136,11 +1161,14 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_FRONTIER", "1") != "0":
         import subprocess
 
-        def _fleg(mode: str, sph: int, epochs: int | None = None) -> dict:
+        def _fleg(mode: str, sph: int, epochs: int | None = None,
+                  max_chain: int | None = None) -> dict:
             argv = [sys.executable, os.path.abspath(__file__),
                     "--frontier-leg", str(cpus), mode, str(sph)]
             if epochs is not None:
                 argv.append(str(epochs))
+            if max_chain is not None:
+                argv.append(str(max_chain))
             out = subprocess.run(
                 argv,
                 capture_output=True, text=True, check=True,
@@ -1163,6 +1191,11 @@ def main() -> None:
             # same shape (identical schedule => the flip is free).
             "auto_4m2": _fleg("auto", 65600, 5),
             "full_4m2": _fleg("full", 65600, 5),
+            # churn-volume compaction under sustained MOR: 13 epochs
+            # with the chain folded at length 4 -> 3 compaction
+            # cycles; chain_dirs must saw-tooth and per-epoch wall
+            # stay flat (bounded read-assembly across cycles)
+            "mor_chain_640k": _fleg("mor", 10000, 13, 4),
         }
 
     # scaling evidence is part of the DEFAULT artifact (round-2 verdict:
@@ -1228,6 +1261,17 @@ def main() -> None:
             "epoch_ms_mor_160k": small["steady_epoch_ms"],
             "digest_match": on["schedule_digest"] == off["schedule_digest"],
         }
+        if "mor_chain_640k" in fb:
+            mc = fb["mor_chain_640k"]
+            compact["frontier"]["mor_chain"] = {
+                "max_chain": mc["max_chain"],
+                "chain_dirs": mc["chain_dirs"],
+                "compaction_cycles": sum(
+                    1 for a, b in zip(mc["chain_dirs"], mc["chain_dirs"][1:])
+                    if b < a
+                ),
+                "epoch_ms": mc["epoch_ms"],
+            }
         if "auto_4m2" in fb:
             au, fu = fb["auto_4m2"], fb["full_4m2"]
             compact["frontier"]["auto_4m2"] = {
