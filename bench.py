@@ -1307,7 +1307,8 @@ def main() -> None:
         compact["scaling"] = {
             k: sc[k]
             for k in ("efficiency_N_to_4N", "efficiency_normalized_to_hw",
-                      "schedule_digest_match")
+                      "calibration_invalid", "pairs_healthy",
+                      "chosen_pair_degraded", "schedule_digest_match")
             if k in sc
         }
         if isinstance(sc.get("bloom_ab"), dict):
