@@ -717,6 +717,14 @@ def ann_bench(cores: int, n_corpus: int = 1_000_000,
     spark = get_spark(
         f"bench-ann-{cores}", master=f"local[{cores}]",
         shuffle_partitions=64,
+        # the bucketed-table leg saveAsTable()s the corpus — keep the
+        # warehouse on tmpfs and out of the repo dir
+        extra_conf={
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(
+                prefix="bench_ann_wh_",
+                dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+            )
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -785,6 +793,35 @@ def ann_bench(cores: int, n_corpus: int = 1_000_000,
         )
         hits = ann.intersect(brute).count()
         recall = round(hits / (200 * 10), 4)
+
+        # bucketed-TABLE batch leg: the corpus saved as a Hive-bucketed
+        # table hashed on the LSH bucket (bucketBy 64) — the batch
+        # join's corpus-side exchange is paid ONCE at write time and
+        # elided from every subsequent batch (the plan evidence is
+        # pytest-asserted; this is the wall-clock evidence at 1M)
+        from spider_man_spark.operators.similarity import (
+            ann_topk_lsh_batch_bucketed,
+            save_bucketed_corpus_table,
+        )
+
+        t0 = time.monotonic()
+        save_bucketed_corpus_table(
+            corpus, "ann_bench_corpus", n_buckets=64, planes=planes
+        )
+        t_save = time.monotonic() - t0
+        t0 = time.monotonic()
+        n_out_b = ann_topk_lsh_batch_bucketed(
+            spark, "ann_bench_corpus", queries, k=10, planes=planes,
+            probe_hamming=2,
+        ).count()
+        wall_b = time.monotonic() - t0
+        bucketed = {
+            "save_table_sec": round(t_save, 2),
+            "wall_sec": round(wall_b, 2),
+            "queries_per_sec": round(n_queries / wall_b, 1),
+            "topk_rows": n_out_b,
+            "rows_match_plain": n_out_b == n_out,
+        }
 
         # partitioned-storage leg: the corpus written PARTITIONED BY
         # LSH bucket (the layout-as-index posture) — single-query
@@ -883,6 +920,7 @@ def ann_bench(cores: int, n_corpus: int = 1_000_000,
             "wall_sec": round(wall, 2),
             "queries_per_sec": round(n_queries / wall, 1),
             "recall_at_10_subsample": recall,
+            "bucketed_table": bucketed,
             "partitioned": partitioned,
         }
     finally:

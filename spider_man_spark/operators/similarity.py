@@ -259,6 +259,98 @@ def ann_topk_lsh_batch(
     )
 
 
+def save_bucketed_corpus_table(
+    df: DataFrame,
+    table: str,
+    n_buckets: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: np.ndarray | None = None,
+    dim: int | None = None,
+) -> None:
+    """Persist the corpus as a HIVE-BUCKETED table hashed on its LSH
+    bucket column (``bucketBy(n_buckets, "bucket")``): the table
+    metadata records the hash-partitioning, so every future batch-ANN
+    bucket equi-join reads the M-row corpus PRE-SHUFFLED — the
+    planner elides the corpus-side exchange and shuffles only the
+    (much smaller) query side into the matching layout.  At
+    M = 10^9+ this removes the join's dominant shuffle from every
+    batch; the one corpus shuffle is paid once, at write time.
+    Complements :func:`write_bucketed_corpus` (partition-pruned
+    single-query latency) — same layout-as-index idea, applied to the
+    batch join's exchange instead of the scan."""
+    if planes is None:
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
+        planes = random_planes(dim)
+    keyed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        rp_lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    (
+        keyed.write.mode("overwrite")
+        .bucketBy(n_buckets, "bucket")
+        .saveAsTable(table)
+    )
+
+
+def ann_topk_lsh_batch_bucketed(
+    spark,
+    table: str,
+    queries: DataFrame,
+    k: int = 10,
+    q_id_col: str = "qid",
+    vec_col: str = "embedding",
+    planes: np.ndarray | None = None,
+    probe_hamming: int = 1,
+    dim: int | None = None,
+) -> DataFrame:
+    """:func:`ann_topk_lsh_batch` over a
+    :func:`save_bucketed_corpus_table` corpus: identical semantics
+    and output (same planes -> same candidates -> same top-k), but
+    the corpus side of the bucket equi-join arrives pre-shuffled from
+    the bucketed table layout, so the plan carries ONE exchange fewer
+    — the M-row one (pytest asserts both the equivalence and the
+    exchange count)."""
+    if planes is None:
+        if dim is None:
+            dim = len(queries.select(vec_col).first()[0])
+        planes = random_planes(dim)
+    masks = _probe_masks(len(planes), probe_hamming)
+    qb = queries.select(
+        F.col(q_id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        rp_lsh_bucket(F.col(vec_col), planes).alias("__qbucket"),
+    ).withColumn(
+        "__mask",
+        F.explode(F.array(*[F.lit(int(m)).cast("long") for m in masks])),
+    ).withColumn(
+        "bucket", F.col("__mask").bitwiseXOR(F.col("__qbucket"))
+    ).drop("__mask", "__qbucket")
+    # select the STORED bucket column — recomputing it would discard
+    # the table's hash-partitioning metadata and bring the shuffle back
+    cb = spark.table(table).select(
+        "vec_id", F.col("embedding").alias("cv"), "bucket"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        qb.join(cb, "bucket")
+        .select(
+            "qid",
+            "vec_id",
+            cosine_sim_cols(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

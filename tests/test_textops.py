@@ -257,3 +257,52 @@ def test_ann_partitioned_equals_computed(spark, vectors, tmp_path):
         .count()
     )
     assert scanned <= 9 < total_files
+
+
+def test_ann_batch_bucketed_table_equals_plain(spark, vectors):
+    """Batch ANN over a Hive-bucketed corpus table == the plain batch
+    path (same planes -> identical top-k), with one FEWER exchange in
+    the physical plan: the corpus side arrives pre-shuffled from the
+    bucketBy layout, so only the query side and the window rank
+    shuffle."""
+    from pyspark.sql import functions as F
+
+    from spider_man_spark.operators.similarity import (
+        ann_topk_lsh_batch_bucketed,
+        save_bucketed_corpus_table,
+    )
+
+    df, base = vectors
+    df = df.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    planes = random_planes(16, n_planes=8)
+    table = "ann_bucketed_test_corpus"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    save_bucketed_corpus_table(df, table, n_buckets=8, planes=planes)
+    try:
+        queries = df.filter(F.col("vec_id").isin([0, 3, 25])).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        plain = ann_topk_lsh_batch(
+            queries, df, k=4, planes=planes, probe_hamming=2
+        )
+        bucketed = ann_topk_lsh_batch_bucketed(
+            spark, table, queries, k=4, planes=planes, probe_hamming=2
+        )
+
+        def collect_map(res):
+            out = {}
+            for r in res.collect():
+                out.setdefault(r.qid, []).append((r.vec_id, r.cosine))
+            return out
+
+        assert collect_map(bucketed) == collect_map(plain)
+        # exchange-count evidence (collect first: AQE finalizes plans)
+        def n_exchanges(res):
+            plan = res._jdf.queryExecution().executedPlan().toString()
+            return plan.count("Exchange hashpartitioning")
+
+        assert n_exchanges(bucketed) < n_exchanges(plain)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
