@@ -1283,6 +1283,14 @@ def main() -> None:
                       "recall_at_10_subsample")
             if k in an
         }
+        if isinstance(an.get("bucketed_table"), dict):
+            compact["ann"]["bucketed_queries_per_sec"] = an[
+                "bucketed_table"
+            ].get("queries_per_sec")
+        if isinstance(an.get("partitioned"), dict):
+            compact["ann"]["partitioned_scan_fraction"] = an[
+                "partitioned"
+            ].get("scan_fraction")
     if "frontier" in result:
         fb = result["frontier"]
         on, off, small = (
