@@ -392,6 +392,25 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(emb, qvec, k=10, probe_hamming=2)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN — the second index family next to
+    RP-LSH (operators/similarity.ivf_index / ann_topk_ivf): seeded
+    k-means cells, query probes its nprobe nearest cells.  Gated at
+    FULL probe (nprobe = n_centroids), where the result must equal
+    brute-force cosine top-k exactly — an integrity check that the
+    cell assignment loses no rows and the per-cell cosine is exact
+    (SQL-expressible, so the oracle is the brute top-k).  The pruned
+    nprobe behavior (recall + cell-subset scan) is pytest-covered
+    (test_ann_ivf_recall_and_pruning) — k-means itself is not
+    SQL-expressible, so a pruned-probe gate would be rows-only."""
+    from spider_man_spark.operators.similarity import ann_topk_ivf, ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    indexed, centroids = ivf_index(emb, n_centroids=16, seed=42)
+    return ann_topk_ivf(indexed, centroids, qvec, k=10, nprobe=16)
+
+
 def q_ann_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-PARTITIONED ANN storage (layout-as-index): the corpus is
     written ``partitionBy(bucket)`` (operators/similarity.
@@ -692,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_partitioned_topk": q_ann_partitioned_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "ann_batch_topk": q_ann_batch_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "global_topk": q_global_topk,
@@ -925,6 +945,16 @@ def oracle_sql() -> dict[str, str]:
         # identical semantics and probe set as ann_lsh_topk —
         # the partitioned layout must not change the answer
         "ann_partitioned_topk": _ann_lsh_oracle_sql(),
+        # full-probe IVF == brute cosine top-k (cell assignment must
+        # lose no rows); pruned-probe recall is pytest-only
+        "ann_ivf_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) AS cosine
+            FROM embeddings, q
+            ORDER BY cosine DESC, vec_id ASC
+            LIMIT 10
+        """,
         "ann_batch_topk": _ann_batch_oracle_sql(),
         "embedding_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)

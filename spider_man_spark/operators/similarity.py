@@ -391,6 +391,74 @@ def embedding_dup_pairs(
     )
 
 
+def ivf_index(
+    df: DataFrame,
+    n_centroids: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF (inverted-file) coarse quantizer — the second index family
+    next to RP-LSH: seeded k-means picks ``n_centroids`` cell
+    centers; every corpus row is assigned to its nearest center.
+    Returns (indexed_df with a ``centroid_id`` int column, centroids
+    ndarray).  The indexed table is the scale artifact: written
+    ``partitionBy("centroid_id")`` (or bucketed on it), a query scans
+    only its ``nprobe`` nearest cells.  k-means runs ONCE at index
+    build on a sample-sized job; assignment is one KMeansModel
+    transform (JVM-side).  Deterministic under a fixed seed."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__f"),
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="__f",
+        predictionCol="centroid_id",
+    ).fit(feat)
+    indexed = model.transform(feat).drop("__f")
+    centroids = np.asarray([np.asarray(c) for c in model.clusterCenters()])
+    return indexed, centroids
+
+
+def ann_topk_ivf(
+    indexed: DataFrame,
+    centroids: np.ndarray,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k over an :func:`ivf_index` table: rank cells by
+    centroid cosine DRIVER-side (centroids are tiny — O(n_centroids)
+    numpy), then exact cosine over only the ``nprobe`` nearest cells'
+    rows.  The cell filter is a literal IN-list, so a
+    centroid-partitioned table prunes to nprobe partitions exactly
+    like the LSH bucket layout."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q) or 1.0
+    cn = np.linalg.norm(centroids, axis=1)
+    cn[cn == 0] = 1.0
+    sims = centroids @ q / (cn * qn)
+    probe = [int(i) for i in np.argsort(-sims)[:nprobe]]
+    return (
+        indexed.filter(F.col("centroid_id").isin(probe))
+        .select(
+            F.col(id_col),
+            cosine_sim_lit(
+                F.col(vec_col).cast("array<double>"), [float(x) for x in q]
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def brute_force_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

