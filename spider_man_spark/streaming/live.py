@@ -74,3 +74,61 @@ def windowed_event_counts(
     return df.groupBy(
         F.window(F.col(ts_col), window).alias("win"), F.col(key_col)
     ).agg(F.count("*").alias("n"))
+
+
+def stream_host_fetch_stats(
+    fetch_events: DataFrame, min_gap_ms: int = 0
+) -> DataFrame:
+    """Custom STATEFUL streaming operator over a stream of completed
+    fetches ``(host, ts_ms)``: running per-host totals plus
+    politeness-gap violations (two fetches on one host closer than
+    ``min_gap_ms``), with the per-host state — last fetch timestamp,
+    running counts — carried across micro-batches via
+    ``applyInPandasWithState`` and recovered from the checkpoint
+    across restarts.
+
+    This is the streaming rebuild of the per-host rate-limiter state
+    the reference keeps driver-local in ETS
+    (component/rate_limiter.ex via engine.ex:145-191 options): here
+    the state lives in Spark's state store, sharded by the group key,
+    so 10^7 hosts of politeness state scale with the cluster instead
+    of one process.  Output mode ``update``: one refreshed row per
+    host per batch that saw it."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap = int(min_gap_ms)
+
+    def track(key, pdfs, state):
+        import pandas as pd
+
+        (host,) = key
+        last_ts, n, viol = state.get if state.exists else (None, 0, 0)
+        for pdf in pdfs:
+            for ts in sorted(int(t) for t in pdf["ts_ms"]):
+                if (
+                    last_ts is not None
+                    and gap > 0
+                    and ts - last_ts < gap
+                ):
+                    viol += 1
+                last_ts = ts
+                n += 1
+        state.update((last_ts, n, viol))
+        yield pd.DataFrame(
+            {
+                "host": [host],
+                "fetches": [n],
+                "violations": [viol],
+                "last_ts_ms": [last_ts],
+            }
+        )
+
+    return fetch_events.groupBy("host").applyInPandasWithState(
+        track,
+        outputStructType=(
+            "host string, fetches long, violations long, last_ts_ms long"
+        ),
+        stateStructType="last_ts long, fetches long, violations long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

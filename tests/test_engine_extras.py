@@ -555,3 +555,48 @@ def test_epoch_releases_all_caches(spark, tmp_path, corpus):
         job.step()
         counts.append(cached_rdds())
     assert all(c <= baseline for c in counts), (baseline, counts)
+
+
+def test_stateful_host_fetch_stats_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: per-host politeness-gap state survives
+    micro-batches AND a query restart (checkpoint recovery) — wave 2
+    continues wave 1's counts instead of starting over."""
+    from spider_man_spark.streaming.live import stream_host_fetch_stats
+
+    src = str(tmp_path / "fetches")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "host string, ts_ms long"
+
+    def run_wave(rows, qname):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        got = {}
+
+        def sink(batch_df, _bid):
+            for r in batch_df.collect():
+                got[r.host] = r
+
+        q = (
+            stream_host_fetch_stats(
+                spark.readStream.schema(schema).parquet(src),
+                min_gap_ms=100,
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    # wave 1: h0 fetches at 0,50,200 -> one gap violation (50-0<100)
+    got = run_wave(
+        [("h0", 0), ("h0", 50), ("h0", 200), ("h1", 0)], "hostfs1"
+    )
+    assert got["h0"].fetches == 3 and got["h0"].violations == 1
+    assert got["h1"].fetches == 1 and got["h1"].violations == 0
+    # wave 2 (same checkpoint): h0 at 250 -> violation vs last_ts=200
+    # carried from wave 1; totals ACCUMULATE (state recovered)
+    got = run_wave([("h0", 250), ("h1", 5000)], "hostfs2")
+    assert got["h0"].fetches == 4 and got["h0"].violations == 2
+    assert got["h1"].fetches == 2 and got["h1"].violations == 0
