@@ -22,7 +22,7 @@ salted subgroup, so it survives phase 1.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from spider_man_spark.schemas import DEFAULT_TOKENS_PER_EPOCH
@@ -134,7 +134,9 @@ def rank_split_per_host(
     tokens_default: int = DEFAULT_TOKENS_PER_EPOCH,
     rank_salts: int = 8,
     caches: list[DataFrame] | None = None,
-) -> tuple[DataFrame, DataFrame]:
+    need_losers: bool = True,
+    tokens_cap: int | None = None,
+) -> tuple[DataFrame, DataFrame | None]:
     """(picked, losers): the two-phase top-``tokens`` with the
     non-picked rows returned as a side output instead of requiring the
     caller to anti-join them back out (saves a full-frontier shuffle
@@ -148,23 +150,49 @@ def rank_split_per_host(
     picked branch materializes during the fetch while the losers
     branch RERUNS the whole rank at the frontier write (measured 5-16 s
     per epoch at the bench shapes, the single largest epoch fixed
-    cost)."""
+    cost).
+
+    ``need_losers=False`` (the merge-on-read commit regime, where the
+    unscheduled majority is never written): the losers branch is not
+    built, the full ranked frontier is NOT persisted, and — when
+    ``tokens_cap`` (a literal upper bound on every host's tokens) is
+    given — the survivor filters carry a LITERAL rank bound next to
+    the per-host column bound, which lets Spark's WindowGroupLimit
+    rule prune each window group to its top-``cap`` rows map-side
+    BEFORE the rank exchange.  At a 10^10-row frontier with a bounded
+    budget this shrinks the rank shuffle from O(|eligible|) rows to
+    O(cap x groups): the dual-output (losers) contract is exactly
+    what blocks that pushdown, and MOR is the mode that doesn't need
+    it.  Returns (picked, None) in that regime; ``picked`` is
+    row-identical to the need_losers path (the literal cap is >= the
+    column bound everywhere, so it never cuts a survivor)."""
     tokens = F.coalesce(F.col("tokens_per_epoch"), F.lit(tokens_default))
+
+    def keep(rank_col: Column) -> Column:
+        cond = rank_col <= tokens
+        if not need_losers and tokens_cap is not None:
+            # literal bound FIRST: WindowGroupLimit matches a literal
+            # limit directly above the window and prunes map-side
+            cond = (rank_col <= F.lit(int(tokens_cap))) & cond
+        return cond
+
     salted = df.withColumn(
         "__salt", F.pmod(F.xxhash64("url_key"), F.lit(rank_salts))
     )
     w1 = Window.partitionBy("host", "__salt").orderBy(*order_cols())
     ranked1 = salted.withColumn("__r1", F.row_number().over(w1))
-    if caches is not None:
+    if need_losers and caches is not None:
         from pyspark import StorageLevel
 
         ranked1 = ranked1.persist(StorageLevel.MEMORY_AND_DISK)
         caches.append(ranked1)
-    losers1 = ranked1.filter(F.col("__r1") > tokens).drop("__r1", "__salt")
-    survivors = ranked1.filter(F.col("__r1") <= tokens).drop("__r1", "__salt")
+    survivors = ranked1.filter(keep(F.col("__r1"))).drop("__r1", "__salt")
     w2 = Window.partitionBy("host").orderBy(*order_cols())
     ranked2 = survivors.withColumn("host_rank", F.row_number().over(w2))
-    picked = ranked2.filter(F.col("host_rank") <= tokens)
+    picked = ranked2.filter(keep(F.col("host_rank")))
+    if not need_losers:
+        return picked, None
+    losers1 = ranked1.filter(F.col("__r1") > tokens).drop("__r1", "__salt")
     losers2 = ranked2.filter(F.col("host_rank") > tokens).drop("host_rank")
     return picked, losers1.unionByName(losers2)
 
@@ -208,7 +236,8 @@ def schedule_epoch(
     rank_salts: int = 8,
     max_per_epoch: int = 0,
     caches: list[DataFrame] | None = None,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+    need_losers: bool = True,
+) -> tuple[DataFrame, DataFrame | None, DataFrame]:
     """(scheduled, deferred, disallowed) for one epoch.
 
     scheduled: per-host top-``tokens`` eligible rows in contract order,
@@ -220,22 +249,41 @@ def schedule_epoch(
     disallowed: robots-disallowed rows — permanently ineligible; the
     caller dead-letters them (reason 'disallowed') so the frontier can
     drain.
-    """
+
+    ``need_losers=False`` (merge-on-read commits): the un-scheduled
+    rows are never written — they stay in the frontier implicitly (no
+    leave tombstone), so ``deferred`` is returned as ``None``, the
+    rank skips its full-frontier persist, and a literal per-host
+    token cap (max over the robots table — one tiny driver-side agg)
+    turns the rank into a WindowGroupLimit plan that prunes map-side
+    before the exchange.  Identical scheduled set either way."""
     politeness_cols = [
         "crawl_delay_ms", "tokens_per_epoch", "next_allowed_ts",
         "disallow_prefixes",
     ]
     enriched = join_robots(frontier, robots)
     eligible, delayed, disallowed = robots_filter(enriched, epoch_ts)
+    tokens_cap = None
+    if not need_losers:
+        cap = tokens_default
+        if robots is not None:
+            row = robots.agg(F.max("tokens_per_epoch").alias("m")).first()
+            if row is not None and row.m is not None:
+                cap = max(cap, int(row.m))
+        tokens_cap = cap
     picked, losers = rank_split_per_host(
-        eligible, tokens_default, rank_salts, caches=caches
+        eligible, tokens_default, rank_salts, caches=caches,
+        need_losers=need_losers, tokens_cap=tokens_cap,
     )
     if max_per_epoch > 0:
         picked, over_cap = global_cap(picked.drop("host_rank"), max_per_epoch)
-        losers = losers.unionByName(over_cap)
+        if need_losers:
+            losers = losers.unionByName(over_cap)
         scheduled = picked.drop(*politeness_cols)
     else:
         scheduled = picked.drop(*politeness_cols, "host_rank")
+    if not need_losers:
+        return scheduled, None, disallowed.drop(*politeness_cols)
     # deferred = rank losers ∪ delay-blocked rows — derived as side
     # outputs of the same lineage, NOT an anti-join against the full
     # frontier (that join was a second full-frontier shuffle per epoch)

@@ -84,6 +84,59 @@ class EpochResult:
         return self.scheduled == 0 and self.frontier_size == 0
 
 
+def _resolve_frontier_mode(
+    store, cfg, prev: int, frontier
+) -> tuple[str, int | None]:
+    """Resolve cfg.frontier_mode ("auto" -> "mor"/"full" per the
+    config-docstring policy) BEFORE scheduling: the MOR regime never
+    materializes the rank-losers branch, so knowing the mode up front
+    lets the scheduler skip the full ranked-frontier persist and take
+    the WindowGroupLimit plan (rank_split_per_host need_losers=False).
+    Returns (mode, prev_size) — prev_size is the O(1) chain value
+    when available (None means the commit path re-counts once)."""
+    frontier_mode = cfg.frontier_mode
+    prev_size = None
+    if frontier_mode in ("auto", "mor"):
+        man = store.manifest()
+        if int(man.get("epoch", -1)) == prev and "frontier_size" in man:
+            prev_size = int(man["frontier_size"])
+        if prev_size is None:
+            prev_size = store.snapshot_size_fast("frontier", prev)
+    if frontier_mode == "auto":
+        # per-epoch policy (see config docstring): MOR only when the
+        # avoided full rewrite dwarfs MOR's fixed read-assembly
+        # latency — large frontier, low churn fraction, dedup on
+        if prev_size is None:
+            prev_size = frontier.count()
+        # last epoch's churn comes from the manifest (persisted by
+        # job.step regardless of commit mode); the MOR delta meta is
+        # only the fallback for pre-churn-chain checkpoints
+        man = store.manifest()
+        man_churn = None
+        if int(man.get("epoch", -1)) == prev and "frontier_churn" in man:
+            man_churn = int(man["frontier_churn"])
+        if man_churn is None:
+            meta_prev = store._mor_meta("frontier", prev)
+            if meta_prev is not None:
+                man_churn = int(meta_prev["n_enter"]) + int(
+                    meta_prev["n_leave"]
+                )
+        churn_ok = (
+            man_churn is None
+            or man_churn <= cfg.frontier_mor_max_churn * max(prev_size, 1)
+        )
+        frontier_mode = (
+            "mor"
+            if (
+                cfg.dedup
+                and prev_size >= cfg.frontier_mor_min_rows
+                and churn_ok
+            )
+            else "full"
+        )
+    return frontier_mode, prev_size
+
+
 def _obs_get(obs, fallback, key: str = "n") -> int:
     """Read an Observation metric; fall back to running ``fallback()``
     (a count on the cached frame) if the metrics row is unavailable —
@@ -143,6 +196,14 @@ def run_epoch(
     # the robots write, so a clean crawl pays zero per-epoch cost here)
     has_disallow = bool(store.manifest().get("has_disallow", True))
     sched_caches: list[DataFrame] = []
+    # commit mode resolved BEFORE scheduling: the MOR regime never
+    # consumes the rank-losers/deferred branch (un-scheduled rows stay
+    # in the frontier implicitly), so the scheduler can skip the
+    # full-frontier rank persist and run the WindowGroupLimit plan
+    frontier_mode, prev_size = _resolve_frontier_mode(
+        store, cfg, prev, frontier
+    )
+    need_losers = frontier_mode != "mor"
     if "downloader" in suspended:
         scheduled = spark.createDataFrame([], FRONTIER_SCHEMA)
         deferred = frontier
@@ -154,12 +215,14 @@ def run_epoch(
             tokens_default=cfg.tokens_per_epoch,
             rank_salts=cfg.rank_salts,
             max_per_epoch=cfg.max_per_epoch,
-            # the ranked frontier is persisted and reused by BOTH the
-            # scheduled branch (materializes during fetch) and the
-            # rank-losers branch of the frontier write — without it the
-            # write reruns the full-frontier rank (the largest epoch
-            # fixed cost, measured 5-16 s at the bench shapes)
+            # (need_losers mode only) the ranked frontier is persisted
+            # and reused by BOTH the scheduled branch (materializes
+            # during fetch) and the rank-losers branch of the frontier
+            # write — without it the write reruns the full-frontier
+            # rank (the largest epoch fixed cost, measured 5-16 s at
+            # the bench shapes)
             caches=sched_caches,
+            need_losers=need_losers,
         )
         if not has_disallow:
             disallowed = None
@@ -393,60 +456,31 @@ def run_epoch(
             )
         return canonicalize_frontier(rows, cfg.base_url, cfg.n_host_shards)
 
-    # frontier' = deferred ∪ retries ∪ admitted
-    parts = [deferred.select(*[f.name for f in FRONTIER_SCHEMA.fields])]
+    # frontier' = deferred ∪ retries ∪ admitted.  requeue = the rows
+    # ENTERING the frontier this epoch (retries + admitted) — the MOR
+    # commit writes exactly these; deferred exists only when the
+    # commit mode needs it (need_losers)
+    requeue: list[DataFrame] = []
     for retry_part in (retry_rows, pre_retry, post_retry):
         if retry_part is not None:
-            parts.append(_requeue_rows(retry_part))
+            requeue.append(_requeue_rows(retry_part))
     if admitted is not None:
-        parts.append(admitted.select(*[f.name for f in FRONTIER_SCHEMA.fields]))
-    frontier_next = parts[0]
-    for p in parts[1:]:
-        frontier_next = frontier_next.unionByName(p)
+        requeue.append(
+            admitted.select(*[f.name for f in FRONTIER_SCHEMA.fields])
+        )
+    frontier_next = None
+    if deferred is not None:
+        frontier_next = deferred.select(
+            *[f.name for f in FRONTIER_SCHEMA.fields]
+        )
+        for p in requeue:
+            frontier_next = frontier_next.unionByName(p)
     # NOTE: no repartition before the write — the next epoch's
     # politeness window hashes by (host, url-salt), which no stored
     # layout can satisfy, so an extra exchange here would buy nothing
     # and costs a full frontier shuffle per epoch.  AQE coalescing
-    # keeps output file counts sane.
-    frontier_mode = cfg.frontier_mode
-    prev_size = None
-    if frontier_mode in ("auto", "mor"):
-        man = store.manifest()
-        if int(man.get("epoch", -1)) == prev and "frontier_size" in man:
-            prev_size = int(man["frontier_size"])
-        if prev_size is None:
-            prev_size = store.snapshot_size_fast("frontier", prev)
-    if frontier_mode == "auto":
-        # per-epoch policy (see config docstring): MOR only when the
-        # avoided full rewrite dwarfs MOR's fixed read-assembly
-        # latency — large frontier, low churn fraction, dedup on
-        if prev_size is None:
-            prev_size = frontier.count()
-        # last epoch's churn comes from the manifest (persisted by
-        # job.step regardless of commit mode); the MOR delta meta is
-        # only the fallback for pre-churn-chain checkpoints
-        man_churn = None
-        if int(man.get("epoch", -1)) == prev and "frontier_churn" in man:
-            man_churn = int(man["frontier_churn"])
-        if man_churn is None:
-            meta_prev = store._mor_meta("frontier", prev)
-            if meta_prev is not None:
-                man_churn = int(meta_prev["n_enter"]) + int(
-                    meta_prev["n_leave"]
-                )
-        churn_ok = (
-            man_churn is None
-            or man_churn <= cfg.frontier_mor_max_churn * max(prev_size, 1)
-        )
-        frontier_mode = (
-            "mor"
-            if (
-                cfg.dedup
-                and prev_size >= cfg.frontier_mor_min_rows
-                and churn_ok
-            )
-            else "full"
-        )
+    # keeps output file counts sane.  (frontier_mode/prev_size were
+    # resolved before scheduling — see _resolve_frontier_mode.)
     res.frontier_mode_used = frontier_mode
     if frontier_mode == "mor":
         # merge-on-read commit (what "auto" picks in the
@@ -461,7 +495,7 @@ def run_epoch(
         # + parse + dedup execute into the caches everything below
         # reuses).
         enters = None
-        for p in parts[1:]:
+        for p in requeue:
             enters = p if enters is None else enters.unionByName(p)
         leaves = None
         if "downloader" not in suspended:
@@ -518,7 +552,7 @@ def run_epoch(
         ]
         if disallowed is not None:
             dirty_src.append(disallowed.select(shard.alias("s")))
-        for p in parts[1:]:
+        for p in requeue:
             dirty_src.append(p.select(shard.alias("s")))
         dirty_df = dirty_src[0]
         for p in dirty_src[1:]:

@@ -354,3 +354,48 @@ def test_parse_robots_bodies_exprs(spark):
     assert got["c.io"].crawl_delay_ms == 2000
     assert got["d.io"].crawl_delay_ms == 0
     assert all(r.epoch == 5 for r in got.values())
+
+
+def test_rank_no_losers_windowgrouplimit_and_equality(spark):
+    """MOR-regime scheduling (need_losers=False): identical scheduled
+    set to the dual-output path, deferred=None, and the rank plan
+    carries WindowGroupLimit — the map-side top-k pruning the losers
+    contract otherwise blocks (the ranked frontier is also no longer
+    persisted, so a 10^10-row MOR epoch never caches the unscheduled
+    majority)."""
+    from pyspark.sql import functions as F
+
+    from spider_man_spark.operators.politeness import schedule_epoch
+
+    fr = spark.range(20_000).select(
+        F.concat(
+            F.lit("http://h"), (F.col("id") % 8).cast("string"),
+            F.lit(".test/p/"), F.col("id").cast("string"),
+        ).alias("url_key"),
+        F.concat(
+            F.lit("http://h"), (F.col("id") % 8).cast("string"),
+            F.lit(".test/p/"), F.col("id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("h"), (F.col("id") % 8).cast("string"), F.lit(".test")
+        ).alias("host"),
+        (F.col("id") % 32).cast("int").alias("host_salt"),
+        F.xxhash64("id").alias("url_hash"),
+        F.lit(0).alias("depth"),
+        F.lit(0).alias("priority"),
+        F.lit(3).alias("retries"),
+        F.lit(None).cast("string").alias("flag"),
+        F.lit(None).cast("map<string,string>").alias("options"),
+    )
+    s_nl, deferred, _ = schedule_epoch(
+        fr, None, 0, tokens_default=50, need_losers=False
+    )
+    got = sorted(r.url_key for r in s_nl.collect())
+    assert deferred is None
+    plan = s_nl._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    s_l, d2, _ = schedule_epoch(
+        fr, None, 0, tokens_default=50, need_losers=True
+    )
+    assert sorted(r.url_key for r in s_l.collect()) == got
+    assert d2 is not None and d2.count() == 20_000 - len(got)
