@@ -353,7 +353,9 @@ class CrawlJob:
             # reset the gate to "unknown" (mor/full oscillation)
             frontier_churn=res.frontier_churn,
         )
-        if self.cfg.compact_every and epoch % self.cfg.compact_every == 0:
+        # epoch > 0: nothing to fold on the very first epoch (and
+        # 0 % compact_every == 0 would fire the trigger there)
+        if self.cfg.compact_every and epoch and epoch % self.cfg.compact_every == 0:
             self.store.compact("seen", epoch)
             if self.cfg.frontier_mode != "full":
                 # bound the MOR tombstone chain / sharded epoch-dir

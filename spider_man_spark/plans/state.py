@@ -553,7 +553,14 @@ class StateStore:
         )
         if not newest_plain:
             merged = self.read_snapshot(kind, epoch)
-            self._safe_replace_dir(kind, merged, epoch)
+            if merged is None:
+                # all-empty chain (zero-churn MOR deltas / no dirty
+                # shards over no base — a drained or never-seeded
+                # frontier): nothing to rewrite; fold by keeping the
+                # newest (empty) head and pruning the rest
+                newest_plain = True
+            else:
+                self._safe_replace_dir(kind, merged, epoch)
         removed = 0
         keep = epoch if not newest_plain else eps[-1]
         for e in eps:

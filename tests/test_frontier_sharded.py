@@ -504,3 +504,20 @@ def test_untouched_shard_files_not_rewritten(spark, tmp_path, corpus):
     n_shards_total = cfg.n_host_shards
     # churn-bounded: the dirty set is a strict subset of all shards
     assert 0 < len(meta["dirty"]) < n_shards_total
+
+
+def test_compact_snapshot_all_empty_chain(spark, tmp_path):
+    """A chain of zero-churn MOR deltas with NO base (a drained or
+    never-seeded frontier — exactly what a forced-mor crawl's
+    compaction trigger sees after run_until_zero drains it) must fold
+    without a crash: read_snapshot(None-schema) returns None there,
+    and compact_snapshot used to hand that None to _safe_replace_dir."""
+    store = StateStore(spark, str(tmp_path / "wd"))
+    empty = _frontier_df(spark, [])
+    store.write_mor_delta("frontier", empty, empty, 0, 0)
+    store.write_mor_delta("frontier", empty, empty, 1, 0)
+    assert store.compact_snapshot("frontier", 1) == 1
+    assert _snap_rows(store, 1) == []
+    # and the fold is idempotent on the surviving head
+    assert store.compact_snapshot("frontier", 1) == 0
+    assert _snap_rows(store, 1) == []
