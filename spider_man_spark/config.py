@@ -133,6 +133,21 @@ class CrawlConfig:
     frontier_mode: str = "auto"
     frontier_mor_min_rows: int = 4_000_000
     frontier_mor_max_churn: float = 0.25
+    # How the full/sharded commit derives next-epoch frontier rows:
+    #   "antijoin" (default) keep = frontier minus the disallow
+    #              predicate minus a BROADCAST anti-join on the
+    #              scheduled url_keys.  No full-frontier window, sort
+    #              or MEMORY_AND_DISK rank persist anywhere in the
+    #              epoch — the rank computes only its WindowGroupLimit-
+    #              pruned winners.  Row-identical to "rank" ({picked,
+    #              losers, delayed, disallowed} partitions the
+    #              frontier).
+    #   "rank"     legacy dual-output rank: losers ∪ delayed side
+    #              outputs of a persisted full-frontier rank.  Kept
+    #              for paired A/B measurement.
+    # (MOR commits never write the unscheduled rows, so this knob is
+    # irrelevant there.)
+    frontier_write: str = "antijoin"
     # Churn-volume MOR compaction triggers, checked after every epoch
     # alongside the epoch-count trigger (compact_every).  At the
     # 10^10 design point the RIGHT trigger is accumulated delta
@@ -230,6 +245,11 @@ def validate_settings(cfg: CrawlConfig) -> None:
         raise SettingsError(
             f"frontier_mode must be 'auto', 'mor', 'sharded' or 'full' "
             f"(got {cfg.frontier_mode!r})"
+        )
+    if cfg.frontier_write not in ("antijoin", "rank"):
+        raise SettingsError(
+            f"frontier_write must be 'antijoin' or 'rank' "
+            f"(got {cfg.frontier_write!r})"
         )
     if cfg.frontier_mode == "mor" and not cfg.dedup:
         raise SettingsError(

@@ -95,6 +95,17 @@ def join_robots(frontier: DataFrame, robots: DataFrame | None) -> DataFrame:
     )
 
 
+def disallow_pred() -> Column:
+    """The robots disallow predicate over an enriched (join_robots)
+    frame — a pure column expression, shared by robots_filter and the
+    anti-join frontier commit so both sides classify identically."""
+    path = F.regexp_extract(F.col("url"), r"^[a-z]+://[^/?#]*([^?#]*)", 1)
+    return F.when(
+        F.col("disallow_prefixes").isNotNull(),
+        F.exists("disallow_prefixes", lambda p: path.startswith(p)),
+    ).otherwise(F.lit(False))
+
+
 def robots_filter(
     df: DataFrame, epoch_ts: int
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -105,16 +116,48 @@ def robots_filter(
     become eligible: they must leave the frontier (dead-letter), or a
     frontier holding only disallowed URLs keeps ``frontier_size > 0``
     forever and run_until_zero spins through max_epochs no-op epochs."""
-    path = F.regexp_extract(F.col("url"), r"^[a-z]+://[^/?#]*([^?#]*)", 1)
-    disallowed = F.when(
-        F.col("disallow_prefixes").isNotNull(),
-        F.exists("disallow_prefixes", lambda p: path.startswith(p)),
-    ).otherwise(F.lit(False))
+    disallowed = disallow_pred()
     too_early = F.col("next_allowed_ts") > F.lit(epoch_ts)
     return (
         df.filter(~disallowed & ~too_early),
         df.filter(~disallowed & too_early),
         df.filter(disallowed),
+    )
+
+
+def frontier_keep_rows(
+    frontier: DataFrame,
+    robots: DataFrame | None,
+    leave_keys: DataFrame,
+    has_disallow: bool = True,
+) -> DataFrame:
+    """The frontier rows that STAY after an epoch, computed WITHOUT
+    ranking: drop robots-disallowed rows (pure predicate — the caller
+    dead-letters that branch) and anti-join out the scheduled
+    ``url_key``s.  The leave set is budget-bounded (<= tokens x
+    scheduled hosts), so the anti-join broadcasts — the whole keep
+    branch is one map-side scan-filter-join with NO full-frontier
+    window, sort, exchange, or persist.
+
+    Row-identical to the legacy ``deferred = rank-losers ∪ delayed``
+    side outputs because {scheduled, losers, delayed, disallowed}
+    partitions the frontier: keep = NOT disallowed MINUS scheduled.
+    This is the frontier-commit shape that survives 10^9-row
+    frontiers — the rank touches only WindowGroupLimit-pruned
+    winners, and the unscheduled majority streams through untouched.
+
+    ``has_disallow=False`` (observed on the robots write): skips the
+    robots join and predicate entirely — the clean-crawl fast path is
+    a bare broadcast anti-join over the frontier scan."""
+    cols = frontier.columns
+    if has_disallow and robots is not None:
+        kept = join_robots(frontier, robots).filter(
+            ~disallow_pred()
+        ).select(*cols)
+    else:
+        kept = frontier
+    return kept.join(
+        F.broadcast(leave_keys.select("url_key")), "url_key", "left_anti"
     )
 
 

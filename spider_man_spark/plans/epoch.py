@@ -203,7 +203,11 @@ def run_epoch(
     frontier_mode, prev_size = _resolve_frontier_mode(
         store, cfg, prev, frontier
     )
-    need_losers = frontier_mode != "mor"
+    # losers are materialized ONLY in the legacy rank-write regime:
+    # MOR never writes unscheduled rows, and the anti-join commit
+    # derives them by subtraction — both run the WindowGroupLimit
+    # rank with no full-frontier persist
+    need_losers = frontier_mode != "mor" and cfg.frontier_write == "rank"
     if "downloader" in suspended:
         scheduled = spark.createDataFrame([], FRONTIER_SCHEMA)
         deferred = frontier
@@ -470,9 +474,32 @@ def run_epoch(
         )
     frontier_next = None
     if deferred is not None:
+        # legacy rank-losers side outputs (cfg.frontier_write="rank"),
+        # or the suspended-downloader epoch (deferred = whole frontier)
         frontier_next = deferred.select(
             *[f.name for f in FRONTIER_SCHEMA.fields]
         )
+        for p in requeue:
+            frontier_next = frontier_next.unionByName(p)
+    elif frontier_mode != "mor":
+        # anti-join commit (default): keep = frontier minus the
+        # disallow predicate minus a broadcast anti-join on the
+        # scheduled url_keys (pre-pipeline — skipped rows leave
+        # forever, same leaver set the MOR tombstones use).  The
+        # leave side is budget-bounded and reads from the persisted
+        # piped/scheduled cache, so the whole branch is map-side —
+        # the full-frontier rank/persist the losers contract forced
+        # is gone in every commit mode.
+        from spider_man_spark.operators.politeness import (
+            frontier_keep_rows,
+        )
+
+        leave_keys = (piped if piped is not None else scheduled).select(
+            "url_key"
+        )
+        frontier_next = frontier_keep_rows(
+            frontier, robots, leave_keys, has_disallow=has_disallow
+        ).select(*[f.name for f in FRONTIER_SCHEMA.fields])
         for p in requeue:
             frontier_next = frontier_next.unionByName(p)
     # NOTE: no repartition before the write — the next epoch's

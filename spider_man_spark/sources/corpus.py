@@ -112,9 +112,16 @@ def make_corpus(
         j % 5 == 0, F.concat(same_host_links, F.array(cross_link))
     ).otherwise(same_host_links)
 
-    img_idx = j % F.lit(images_per_host)
+    # images_per_host == 0: a text-only corpus — pages carry no <img>
+    # tag (and no caption) and the image-row leg is skipped entirely;
+    # the raw modulo would divide by zero under ANSI mode
+    img_idx = j % F.lit(max(images_per_host, 1))
     img_src = F.format_string("http://h%d.test/img/%d", hi, img_idx)
-    caption = F.format_string("caption-h%d-img%d", hi, img_idx)
+    caption = (
+        F.format_string("caption-h%d-img%d", hi, img_idx)
+        if images_per_host > 0
+        else F.lit(None).cast("string")
+    )
 
     anchors = F.aggregate(
         links,
@@ -139,14 +146,21 @@ def make_corpus(
             ),
             F.lit("</p>"),
         )
+    img_part = (
+        F.concat(
+            F.lit('<img src="'),
+            img_src,
+            F.lit('"/><p class="caption">'),
+            caption,
+            F.lit("</p>"),
+        )
+        if images_per_host > 0
+        else F.lit("")
+    )
     body = F.concat(
         F.lit("<html><body>"),
         anchors,
-        F.lit('<img src="'),
-        img_src,
-        F.lit('"/><p class="caption">'),
-        caption,
-        F.lit("</p>"),
+        img_part,
         filler,
         F.lit("</body></html>"),
     )

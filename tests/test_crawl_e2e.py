@@ -246,3 +246,15 @@ def test_cookie_session_harvest(spark, tmp_path, corpus):
         assert all(
             r.options.get("h:cookie") == "sid=h0" for r in h0.collect()
         )
+
+
+def test_text_only_corpus_no_images(spark):
+    """images_per_host=0 builds a text-only corpus: no image rows, no
+    <img>/caption markup, null captions — the raw page-index modulo
+    used to divide by zero under ANSI mode."""
+    c = make_corpus(spark, n_hosts=2, pages_per_host=5, images_per_host=0)
+    rows = c.collect()
+    assert all("/img/" not in r.url for r in rows)
+    pages = [r for r in rows if r.content_type == "text/html"]
+    assert pages and all(r.caption is None for r in pages)
+    assert all(b"<img" not in bytes(r.body) for r in pages)

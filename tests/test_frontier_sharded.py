@@ -521,3 +521,109 @@ def test_compact_snapshot_all_empty_chain(spark, tmp_path):
     # and the fold is idempotent on the surviving head
     assert store.compact_snapshot("frontier", 1) == 0
     assert _snap_rows(store, 1) == []
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [
+        # global cap: over_cap rows are dropped from the schedule and —
+        # in MOR mode — never written at all (they stay in the frontier
+        # implicitly); the one need_losers=False branch the base
+        # equivalence test does not reach
+        dict(corpus=dict(n_hosts=5, pages_per_host=8, out_degree=3,
+                         images_per_host=1),
+             cfg=dict(tokens_per_epoch=10, max_per_epoch=12)),
+        # text-only corpus (images_per_host=0) + a single deep host:
+        # retries/dead-letter churn dominates the delta stream
+        dict(corpus=dict(n_hosts=1, pages_per_host=40, out_degree=1,
+                         images_per_host=0),
+             cfg=dict(tokens_per_epoch=7)),
+    ],
+    ids=["global-cap", "text-only-deep"],
+)
+def test_crawl_equivalence_matrix(spark, tmp_path, shape):
+    """3-mode whole-crawl equivalence over shapes the base test does
+    not cover: the global per-epoch cap (MOR drops over-cap rows
+    implicitly instead of requeueing them) and a text-only corpus."""
+
+    c = make_corpus(spark, **shape["corpus"]).cache()
+    try:
+        def run(mode):
+            cfg = CrawlConfig(
+                workdir=str(tmp_path / f"wdm_{mode}"),
+                frontier_mode=mode, compact_every=3, **shape["cfg"],
+            )
+            job = CrawlJob(spark, cfg, corpus=c)
+            job.insert_requests(
+                [f"http://h{i}.test/p/0"
+                 for i in range(shape["corpus"]["n_hosts"])]
+            )
+            series = []
+            for _ in range(6):
+                r = job.step()
+                series.append((r.scheduled, r.frontier_size))
+            ep = job.store.last_epoch()
+            seen = job.store.read_deltas("seen", ep)
+            digest = seen.select(
+                F.sum(
+                    F.xxhash64("epoch", "url_key").cast("decimal(38,0)")
+                ).alias("d")
+            ).first().d
+            return series, int(digest)
+
+        full = run("full")
+        assert full[0][0][0] > 0
+        assert run("mor") == full
+        assert run("sharded") == full
+    finally:
+        c.unpersist()
+
+
+def test_frontier_write_rank_equals_antijoin(spark, tmp_path, corpus):
+    """cfg.frontier_write: the anti-join commit (default) is
+    whole-crawl identical to the legacy rank-losers side outputs in
+    both non-MOR modes — {scheduled, losers, delayed, disallowed}
+    partitions the frontier, so keep = NOT disallowed MINUS
+    scheduled."""
+
+    def run(write, mode):
+        cfg = CrawlConfig(
+            workdir=str(tmp_path / f"wd_{write}_{mode}"),
+            tokens_per_epoch=20, frontier_mode=mode,
+            frontier_write=write, compact_every=3,
+        )
+        job = CrawlJob(spark, cfg, corpus=corpus)
+        job.insert_requests([f"http://h{i}.test/p/0" for i in range(4)])
+        series = []
+        for _ in range(6):
+            r = job.step()
+            series.append((r.scheduled, r.frontier_size))
+        ep = job.store.last_epoch()
+        fr = job.store.read_snapshot("frontier", ep, FRONTIER_SCHEMA)
+        rows = sorted(
+            (r.url_key, r.depth, r.retries) for r in fr.collect()
+        )
+        return series, rows
+
+    for mode in ("full", "sharded"):
+        got = run("antijoin", mode)
+        assert got[0][0][0] > 0
+        assert got == run("rank", mode)
+
+
+def test_frontier_keep_rows_plan_is_map_side(spark):
+    """The anti-join keep branch must never sort, window, or
+    hash-exchange the frontier: one scan-filter + one BROADCAST
+    left-anti join.  This is the property that makes the non-MOR
+    frontier commit O(|frontier|) streaming work with no
+    full-frontier persist at 10^9 rows."""
+    from spider_man_spark.operators.politeness import frontier_keep_rows
+
+    fr = _frontier_df(spark, [(f"u{i}", i % 4) for i in range(100)])
+    leave = fr.limit(10).select("url_key")
+    kept = frontier_keep_rows(fr, None, leave, has_disallow=False)
+    assert kept.count() == 90
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "Window" not in plan and "Sort" not in plan
+    assert "Exchange hashpartitioning" not in plan
