@@ -144,7 +144,11 @@ class CrawlConfig:
     #              frontier).
     #   "rank"     legacy dual-output rank: losers ∪ delayed side
     #              outputs of a persisted full-frontier rank.  Kept
-    #              for paired A/B measurement.
+    #              for paired A/B measurement; also what dedup=False
+    #              crawls use regardless of this setting — the
+    #              anti-join assumes unique url_keys (with duplicates
+    #              it would drop unscheduled copies of a scheduled
+    #              key that the rank kept as losers).
     # (MOR commits never write the unscheduled rows, so this knob is
     # irrelevant there.)
     frontier_write: str = "antijoin"

@@ -130,25 +130,36 @@ def frontier_keep_rows(
     robots: DataFrame | None,
     leave_keys: DataFrame,
     has_disallow: bool = True,
+    broadcast_hint: bool = True,
 ) -> DataFrame:
     """The frontier rows that STAY after an epoch, computed WITHOUT
     ranking: drop robots-disallowed rows (pure predicate — the caller
     dead-letters that branch) and anti-join out the scheduled
     ``url_key``s.  The leave set is budget-bounded (<= tokens x
-    scheduled hosts), so the anti-join broadcasts — the whole keep
-    branch is one map-side scan-filter-join with NO full-frontier
-    window, sort, exchange, or persist.
+    scheduled hosts), so the anti-join usually broadcasts — the whole
+    keep branch is one map-side scan-filter-join with NO
+    full-frontier window, sort, exchange, or persist.
 
     Row-identical to the legacy ``deferred = rank-losers ∪ delayed``
     side outputs because {scheduled, losers, delayed, disallowed}
     partitions the frontier: keep = NOT disallowed MINUS scheduled.
-    This is the frontier-commit shape that survives 10^9-row
-    frontiers — the rank touches only WindowGroupLimit-pruned
-    winners, and the unscheduled majority streams through untouched.
+    REQUIRES unique url_keys (cfg.dedup — the caller falls back to
+    the rank commit otherwise): with duplicates in the frontier, the
+    anti-join removes every copy of a scheduled key while the rank
+    kept the unscheduled copies as losers.  This is the
+    frontier-commit shape that survives 10^9-row frontiers — the
+    rank touches only WindowGroupLimit-pruned winners, and the
+    unscheduled majority streams through untouched.
+
+    ``broadcast_hint=False`` (the caller's known O(1) bound on the
+    leave set exceeds the broadcast budget — mirrors the MOR read
+    path's _MOR_BROADCAST_MAX_KEYS guard): no forced hint; AQE's
+    runtime stats still convert the join to broadcast when the
+    actual leave set turns out small.
 
     ``has_disallow=False`` (observed on the robots write): skips the
     robots join and predicate entirely — the clean-crawl fast path is
-    a bare broadcast anti-join over the frontier scan."""
+    a bare anti-join over the frontier scan."""
     cols = frontier.columns
     if has_disallow and robots is not None:
         kept = join_robots(frontier, robots).filter(
@@ -156,9 +167,10 @@ def frontier_keep_rows(
         ).select(*cols)
     else:
         kept = frontier
-    return kept.join(
-        F.broadcast(leave_keys.select("url_key")), "url_key", "left_anti"
-    )
+    keys = leave_keys.select("url_key")
+    if broadcast_hint:
+        keys = F.broadcast(keys)
+    return kept.join(keys, "url_key", "left_anti")
 
 
 def rank_per_host(

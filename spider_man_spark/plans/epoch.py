@@ -96,12 +96,14 @@ def _resolve_frontier_mode(
     when available (None means the commit path re-counts once)."""
     frontier_mode = cfg.frontier_mode
     prev_size = None
-    if frontier_mode in ("auto", "mor"):
-        man = store.manifest()
-        if int(man.get("epoch", -1)) == prev and "frontier_size" in man:
-            prev_size = int(man["frontier_size"])
-        if prev_size is None:
-            prev_size = store.snapshot_size_fast("frontier", prev)
+    # the O(1) size chain is mode-independent (job.step records
+    # frontier_size in the manifest every epoch) — full/sharded
+    # commits use it to bound the anti-join broadcast decision
+    man = store.manifest()
+    if int(man.get("epoch", -1)) == prev and "frontier_size" in man:
+        prev_size = int(man["frontier_size"])
+    if prev_size is None and frontier_mode in ("auto", "mor"):
+        prev_size = store.snapshot_size_fast("frontier", prev)
     if frontier_mode == "auto":
         # per-epoch policy (see config docstring): MOR only when the
         # avoided full rewrite dwarfs MOR's fixed read-assembly
@@ -206,8 +208,14 @@ def run_epoch(
     # losers are materialized ONLY in the legacy rank-write regime:
     # MOR never writes unscheduled rows, and the anti-join commit
     # derives them by subtraction — both run the WindowGroupLimit
-    # rank with no full-frontier persist
-    need_losers = frontier_mode != "mor" and cfg.frontier_write == "rank"
+    # rank with no full-frontier persist.  dedup=False forces the
+    # rank commit: the anti-join removes EVERY copy of a scheduled
+    # url_key, so with duplicate keys in the frontier it would drop
+    # unscheduled copies the rank kept as losers (same unique-key
+    # assumption MOR's tombstones validate against at config time)
+    need_losers = frontier_mode != "mor" and (
+        cfg.frontier_write == "rank" or not cfg.dedup
+    )
     if "downloader" in suspended:
         scheduled = spark.createDataFrame([], FRONTIER_SCHEMA)
         deferred = frontier
@@ -472,10 +480,21 @@ def run_epoch(
         requeue.append(
             admitted.select(*[f.name for f in FRONTIER_SCHEMA.fields])
         )
+    # leavers = the PRE-pipeline scheduled rows, shared by all three
+    # commit derivations below (anti-join keep set, MOR tombstones,
+    # sharded dirty set): pipelines drop skipped rows (no retry,
+    # producer/ets.ex:150) and split out errored rows AFTER
+    # scheduling, but every originally-scheduled row left the
+    # frontier — `piped` (the persisted pre-split pipeline output)
+    # carries exactly that set; using the post-pipeline `scheduled`
+    # would resurrect skipped rows forever and double-insert errored
+    # retries
+    leavers = piped if piped is not None else scheduled
     frontier_next = None
     if deferred is not None:
-        # legacy rank-losers side outputs (cfg.frontier_write="rank"),
-        # or the suspended-downloader epoch (deferred = whole frontier)
+        # legacy rank-losers side outputs (cfg.frontier_write="rank"
+        # or dedup=False), or the suspended-downloader epoch
+        # (deferred = whole frontier)
         frontier_next = deferred.select(
             *[f.name for f in FRONTIER_SCHEMA.fields]
         )
@@ -483,22 +502,25 @@ def run_epoch(
             frontier_next = frontier_next.unionByName(p)
     elif frontier_mode != "mor":
         # anti-join commit (default): keep = frontier minus the
-        # disallow predicate minus a broadcast anti-join on the
-        # scheduled url_keys (pre-pipeline — skipped rows leave
-        # forever, same leaver set the MOR tombstones use).  The
-        # leave side is budget-bounded and reads from the persisted
-        # piped/scheduled cache, so the whole branch is map-side —
-        # the full-frontier rank/persist the losers contract forced
-        # is gone in every commit mode.
+        # disallow predicate minus an anti-join on the scheduled
+        # url_keys.  The leave side is budget-bounded and reads from
+        # the persisted piped/scheduled cache, so the whole branch is
+        # map-side — the full-frontier rank/persist the losers
+        # contract forced is gone in every commit mode.  Broadcast
+        # only under a KNOWN O(1) bound (manifest size chain /
+        # global cap — mirrors the MOR read path's key guard);
+        # otherwise AQE's runtime stats pick the strategy.
         from spider_man_spark.operators.politeness import (
             frontier_keep_rows,
         )
+        from spider_man_spark.plans.state import _MOR_BROADCAST_MAX_KEYS
 
-        leave_keys = (piped if piped is not None else scheduled).select(
-            "url_key"
-        )
+        bounds = [b for b in (cfg.max_per_epoch, prev_size) if b]
         frontier_next = frontier_keep_rows(
-            frontier, robots, leave_keys, has_disallow=has_disallow
+            frontier, robots, leavers.select("url_key"),
+            has_disallow=has_disallow,
+            broadcast_hint=bool(bounds)
+            and min(bounds) <= _MOR_BROADCAST_MAX_KEYS,
         ).select(*[f.name for f in FRONTIER_SCHEMA.fields])
         for p in requeue:
             frontier_next = frontier_next.unionByName(p)
@@ -526,17 +548,7 @@ def run_epoch(
             enters = p if enters is None else enters.unionByName(p)
         leaves = None
         if "downloader" not in suspended:
-            # leavers are the PRE-pipeline scheduled rows: pipelines
-            # drop skipped rows (no retry, producer/ets.ex:150) and
-            # split out errored rows AFTER scheduling, but every
-            # originally-scheduled row left the frontier — `piped`
-            # (the persisted pre-split pipeline output) carries
-            # exactly that set; using the post-pipeline `scheduled`
-            # would resurrect skipped rows forever and double-insert
-            # errored retries
-            leaves = (piped if piped is not None else scheduled).select(
-                "url_key"
-            )
+            leaves = leavers.select("url_key")
             if disallowed is not None:
                 leaves = leaves.unionByName(
                     disallowed.select("url_key")
@@ -569,14 +581,10 @@ def run_epoch(
         # (rank + fetch + parse + dedup execute here and land in the
         # caches the write below reuses).
         shard = F.coalesce(F.col("host_salt"), F.lit(-1))
-        # pre-pipeline scheduled rows (see the MOR leaves note): a
-        # shard whose only activity was a pipeline-skipped row still
-        # churned and must be rewritten without that row
-        dirty_src = [
-            (piped if piped is not None else scheduled).select(
-                shard.alias("s")
-            )
-        ]
+        # a shard whose only activity was a pipeline-skipped row
+        # still churned and must be rewritten without that row —
+        # hence `leavers`, not the post-pipeline `scheduled`
+        dirty_src = [leavers.select(shard.alias("s"))]
         if disallowed is not None:
             dirty_src.append(disallowed.select(shard.alias("s")))
         for p in requeue:

@@ -627,3 +627,44 @@ def test_frontier_keep_rows_plan_is_map_side(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "Window" not in plan and "Sort" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_dedup_off_falls_back_to_rank_commit(spark, tmp_path):
+    """dedup=False frontiers can hold duplicate url_keys; the
+    anti-join commit would drop every copy of a scheduled key, so the
+    engine must fall back to the rank-losers commit (empirically, the
+    default anti-join once diverged here: duplicate copies vanished
+    unfetched).  Whole-crawl series must match an explicit
+    frontier_write="rank" run exactly."""
+    c = make_corpus(
+        spark, n_hosts=2, pages_per_host=6, out_degree=2,
+        images_per_host=1,
+    ).cache()
+    try:
+        def run(**kw):
+            cfg = CrawlConfig(
+                workdir=str(tmp_path / f"wd_ddoff_{len(kw)}"),
+                tokens_per_epoch=2, dedup=False, frontier_mode="full",
+                **kw,
+            )
+            job = CrawlJob(spark, cfg, corpus=c)
+            job.insert_requests(
+                ["http://h0.test/p/0", "http://h1.test/p/0"]
+            )
+            series = []
+            for _ in range(5):
+                r = job.step()
+                series.append((r.scheduled, r.frontier_size))
+            ep = job.store.last_epoch()
+            fr = job.store.read_snapshot("frontier", ep, FRONTIER_SCHEMA)
+            n_dups = fr.count() - fr.select("url_key").distinct().count()
+            return series, n_dups
+
+        default = run()
+        legacy = run(frontier_write="rank")
+        assert default == legacy
+        # duplicate url_keys actually arise in this shape — the
+        # fallback is load-bearing, not vacuous
+        assert default[1] > 0
+    finally:
+        c.unpersist()
