@@ -134,24 +134,33 @@ class CrawlConfig:
     frontier_mor_min_rows: int = 4_000_000
     frontier_mor_max_churn: float = 0.25
     # How the full/sharded commit derives next-epoch frontier rows:
-    #   "antijoin" (default) keep = frontier minus the disallow
-    #              predicate minus a BROADCAST anti-join on the
-    #              scheduled url_keys.  No full-frontier window, sort
-    #              or MEMORY_AND_DISK rank persist anywhere in the
-    #              epoch — the rank computes only its WindowGroupLimit-
+    #   "auto"     (default) "antijoin" below frontier_mor_min_rows,
+    #              "rank" at or above it.  Measured basis (paired
+    #              same-JVM A/B): the two are wall-neutral at a 640k
+    #              frontier (ratio 0.999-1.011), but at 4.2M rows the
+    #              rank's persisted frontier turns the commit into a
+    #              cache scan while the anti-join pays a second full
+    #              scan+join (rank/antijoin 0.848) — and a large
+    #              frontier in a non-MOR mode means the user opted
+    #              out of MOR (or churn is high), exactly the regime
+    #              where the persist pays for itself.
+    #   "antijoin" keep = frontier minus the disallow predicate minus
+    #              a bounded-broadcast anti-join on the scheduled
+    #              url_keys.  No full-frontier window, sort or
+    #              MEMORY_AND_DISK rank persist anywhere in the epoch
+    #              — the rank computes only its WindowGroupLimit-
     #              pruned winners.  Row-identical to "rank" ({picked,
     #              losers, delayed, disallowed} partitions the
     #              frontier).
     #   "rank"     legacy dual-output rank: losers ∪ delayed side
-    #              outputs of a persisted full-frontier rank.  Kept
-    #              for paired A/B measurement; also what dedup=False
-    #              crawls use regardless of this setting — the
-    #              anti-join assumes unique url_keys (with duplicates
-    #              it would drop unscheduled copies of a scheduled
-    #              key that the rank kept as losers).
+    #              outputs of a persisted full-frontier rank.  Also
+    #              what dedup=False crawls use regardless of this
+    #              setting — the anti-join assumes unique url_keys
+    #              (with duplicates it would drop unscheduled copies
+    #              of a scheduled key that the rank kept as losers).
     # (MOR commits never write the unscheduled rows, so this knob is
     # irrelevant there.)
-    frontier_write: str = "antijoin"
+    frontier_write: str = "auto"
     # Churn-volume MOR compaction triggers, checked after every epoch
     # alongside the epoch-count trigger (compact_every).  At the
     # 10^10 design point the RIGHT trigger is accumulated delta
@@ -250,9 +259,9 @@ def validate_settings(cfg: CrawlConfig) -> None:
             f"frontier_mode must be 'auto', 'mor', 'sharded' or 'full' "
             f"(got {cfg.frontier_mode!r})"
         )
-    if cfg.frontier_write not in ("antijoin", "rank"):
+    if cfg.frontier_write not in ("auto", "antijoin", "rank"):
         raise SettingsError(
-            f"frontier_write must be 'antijoin' or 'rank' "
+            f"frontier_write must be 'auto', 'antijoin' or 'rank' "
             f"(got {cfg.frontier_write!r})"
         )
     if cfg.frontier_mode == "mor" and not cfg.dedup:

@@ -84,6 +84,22 @@ class EpochResult:
         return self.scheduled == 0 and self.frontier_size == 0
 
 
+def _resolve_frontier_write(cfg, prev_size: int | None) -> str:
+    """Resolve cfg.frontier_write "auto" per the config docstring:
+    anti-join below frontier_mor_min_rows, rank at/above it (measured:
+    wall-neutral at 640k, rank 0.85x at 4.2M — the persisted rank
+    turns a LARGE full-rewrite commit into a cache scan, and a large
+    frontier in a non-MOR mode means MOR was opted out or churn is
+    high, the regime where the persist pays for itself).  An unknown
+    size resolves to anti-join — the cheap-commit small-crawl guess;
+    the O(1) manifest chain makes the size known from epoch 2 on."""
+    if cfg.frontier_write != "auto":
+        return cfg.frontier_write
+    if prev_size is not None and prev_size >= cfg.frontier_mor_min_rows:
+        return "rank"
+    return "antijoin"
+
+
 def _resolve_frontier_mode(
     store, cfg, prev: int, frontier
 ) -> tuple[str, int | None]:
@@ -205,16 +221,17 @@ def run_epoch(
     frontier_mode, prev_size = _resolve_frontier_mode(
         store, cfg, prev, frontier
     )
-    # losers are materialized ONLY in the legacy rank-write regime:
-    # MOR never writes unscheduled rows, and the anti-join commit
-    # derives them by subtraction — both run the WindowGroupLimit
-    # rank with no full-frontier persist.  dedup=False forces the
-    # rank commit: the anti-join removes EVERY copy of a scheduled
-    # url_key, so with duplicate keys in the frontier it would drop
-    # unscheduled copies the rank kept as losers (same unique-key
-    # assumption MOR's tombstones validate against at config time)
+    # losers are materialized ONLY in the rank-write regime: MOR
+    # never writes unscheduled rows, and the anti-join commit derives
+    # them by subtraction — both run the WindowGroupLimit rank with
+    # no full-frontier persist.  dedup=False forces the rank commit:
+    # the anti-join removes EVERY copy of a scheduled url_key, so
+    # with duplicate keys in the frontier it would drop unscheduled
+    # copies the rank kept as losers (same unique-key assumption
+    # MOR's tombstones validate against at config time)
+    fwrite = _resolve_frontier_write(cfg, prev_size)
     need_losers = frontier_mode != "mor" and (
-        cfg.frontier_write == "rank" or not cfg.dedup
+        fwrite == "rank" or not cfg.dedup
     )
     if "downloader" in suspended:
         scheduled = spark.createDataFrame([], FRONTIER_SCHEMA)

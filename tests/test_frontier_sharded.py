@@ -668,3 +668,21 @@ def test_dedup_off_falls_back_to_rank_commit(spark, tmp_path):
         assert default[1] > 0
     finally:
         c.unpersist()
+
+
+def test_frontier_write_auto_resolution():
+    """frontier_write="auto" (default): anti-join below
+    frontier_mor_min_rows, rank at/above it, anti-join when the size
+    is unknown; explicit values pass through untouched."""
+    from spider_man_spark.plans.epoch import _resolve_frontier_write
+
+    cfg = CrawlConfig(workdir="/tmp/x")  # never touched
+    assert cfg.frontier_write == "auto"
+    assert _resolve_frontier_write(cfg, None) == "antijoin"
+    assert _resolve_frontier_write(cfg, cfg.frontier_mor_min_rows - 1) \
+        == "antijoin"
+    assert _resolve_frontier_write(cfg, cfg.frontier_mor_min_rows) == "rank"
+    cfg.frontier_write = "rank"
+    assert _resolve_frontier_write(cfg, 1) == "rank"
+    cfg.frontier_write = "antijoin"
+    assert _resolve_frontier_write(cfg, 10**10) == "antijoin"
