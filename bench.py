@@ -1348,8 +1348,19 @@ def main() -> None:
     # BENCH_r03.json recorded "parsed": null).
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_full.json")
+    # Merge-preserve: a light run (sections skipped via env) must not
+    # truncate evidence sections a previous full run wrote — only
+    # overwrite keys this run actually produced (round-5 lesson: a
+    # light-only rerun orphaned BENCH_r05's full_detail pointer).
+    merged = {}
+    try:
+        with open(full_path) as f:
+            merged = json.load(f)
+    except (OSError, ValueError):
+        pass
+    merged.update(result)
     with open(full_path, "w") as f:
-        json.dump(result, f, indent=1)
+        json.dump(merged, f, indent=1)
 
     compact = {
         "metric": result["metric"],
