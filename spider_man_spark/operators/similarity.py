@@ -305,6 +305,8 @@ def ann_topk_lsh_batch_bucketed(
     planes: np.ndarray | None = None,
     probe_hamming: int = 1,
     dim: int | None = None,
+    id_col: str = "vec_id",
+    corpus_vec_col: str | None = None,
 ) -> DataFrame:
     """:func:`ann_topk_lsh_batch` over a
     :func:`save_bucketed_corpus_table` corpus: identical semantics
@@ -312,7 +314,9 @@ def ann_topk_lsh_batch_bucketed(
     the corpus side of the bucket equi-join arrives pre-shuffled from
     the bucketed table layout, so the plan carries ONE exchange fewer
     — the M-row one (pytest asserts both the equivalence and the
-    exchange count)."""
+    exchange count).  ``id_col``/``corpus_vec_col`` name the STORED
+    corpus columns, mirroring :func:`save_bucketed_corpus_table`'s
+    signature (``corpus_vec_col`` defaults to ``vec_col``)."""
     if planes is None:
         if dim is None:
             dim = len(queries.select(vec_col).first()[0])
@@ -331,7 +335,9 @@ def ann_topk_lsh_batch_bucketed(
     # select the STORED bucket column — recomputing it would discard
     # the table's hash-partitioning metadata and bring the shuffle back
     cb = spark.table(table).select(
-        "vec_id", F.col("embedding").alias("cv"), "bucket"
+        F.col(id_col).alias("vec_id"),
+        F.col(corpus_vec_col or vec_col).alias("cv"),
+        "bucket",
     )
     from pyspark.sql import Window
 
@@ -398,16 +404,23 @@ def ivf_index(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 10,
+    fit_sample_rows: int = 100_000,
 ) -> tuple[DataFrame, np.ndarray]:
     """IVF (inverted-file) coarse quantizer — the second index family
     next to RP-LSH: seeded k-means picks ``n_centroids`` cell
     centers; every corpus row is assigned to its nearest center.
     Returns (indexed_df with a ``centroid_id`` int column, centroids
     ndarray).  The indexed table is the scale artifact: written
-    ``partitionBy("centroid_id")`` (or bucketed on it), a query scans
-    only its ``nprobe`` nearest cells.  k-means runs ONCE at index
-    build on a sample-sized job; assignment is one KMeansModel
-    transform (JVM-side).  Deterministic under a fixed seed."""
+    ``partitionBy("centroid_id")`` (see :func:`write_ivf_corpus`), a
+    query scans only its ``nprobe`` nearest cells.
+
+    The k-means FIT is bounded: when the corpus exceeds
+    ``fit_sample_rows`` the fit runs on a seeded uniform sample capped
+    near that size (coarse-quantizer quality needs O(centroids x
+    constant) points, not the corpus — at 10^9+ rows an unsampled fit
+    would iterate ``max_iter`` full scans).  ASSIGNMENT is always the
+    full corpus: one KMeansModel transform (JVM-side).  Deterministic
+    under a fixed seed for a fixed input partitioning."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -416,13 +429,105 @@ def ivf_index(
         F.col(vec_col),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("__f"),
     )
+    fit_df = feat.select("__f")
+    n = fit_df.count()
+    if n > fit_sample_rows:
+        fit_df = fit_df.sample(
+            fraction=min(1.0, fit_sample_rows / n), seed=seed
+        )
     model = KMeans(
         k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="__f",
         predictionCol="centroid_id",
-    ).fit(feat)
+    ).fit(fit_df)
     indexed = model.transform(feat).drop("__f")
     centroids = np.asarray([np.asarray(c) for c in model.clusterCenters()])
     return indexed, centroids
+
+
+def write_ivf_corpus(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+    fit_sample_rows: int = 100_000,
+) -> np.ndarray:
+    """Persist an embedded corpus PARTITIONED BY its IVF cell — the
+    directory layout becomes the index, exactly like
+    :func:`write_bucketed_corpus` for the LSH family: a probe's
+    literal ``centroid_id`` IN-list becomes PartitionFilters, so the
+    scan lists and reads O(nprobe) cells instead of O(corpus).  One
+    shuffle on centroid_id before the write keeps it to one file per
+    cell.  The centroids (the only state a reader needs) are written
+    beside the data as ``_ivf_centroids.json`` — an underscore-
+    prefixed name, so Spark's parquet reader ignores it like
+    ``_SUCCESS``.  Returns the centroids ndarray."""
+    import json
+    import os
+
+    indexed, centroids = ivf_index(
+        df, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+        seed=seed, max_iter=max_iter, fit_sample_rows=fit_sample_rows,
+    )
+    (
+        indexed.repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
+        json.dump(centroids.tolist(), f)
+    return centroids
+
+
+def load_ivf_centroids(path: str) -> np.ndarray:
+    """Read back the centroid sidecar a :func:`write_ivf_corpus` table
+    carries."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as f:
+        return np.asarray(json.load(f), dtype=np.float64)
+
+
+def ann_topk_ivf_partitioned(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Single-query ANN top-k over a :func:`write_ivf_corpus` table:
+    cells are ranked by centroid cosine driver-side (O(n_centroids)
+    numpy), the ``nprobe`` nearest become a literal IN-list pruned to
+    those partitions at file-listing time — per-query latency is
+    O(probed cells), independent of corpus size.  Same semantics as
+    :func:`ann_topk_ivf` over the same index (identical candidates,
+    identical top-k)."""
+    if centroids is None:
+        centroids = load_ivf_centroids(path)
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q) or 1.0
+    cn = np.linalg.norm(centroids, axis=1)
+    cn[cn == 0] = 1.0
+    sims = centroids @ q / (cn * qn)
+    probe = [int(i) for i in np.argsort(-sims)[:nprobe]]
+    df = spark.read.parquet(path).filter(F.col("centroid_id").isin(probe))
+    return (
+        df.select(
+            F.col(id_col),
+            cosine_sim_lit(
+                F.col(vec_col).cast("array<double>"), [float(x) for x in q]
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
 
 
 def ann_topk_ivf(

@@ -108,7 +108,12 @@ class CrawlJob:
             return
         epoch = max(self.store.last_epoch(), 0)
         frontier = self.store.read_snapshot("frontier", epoch, FRONTIER_SCHEMA)
-        if op == "retry_failed" and frontier is not None:
+        # dedup=False drops the failed/frontier key-disjointness the
+        # retry heal's anti-join relies on (a failed URL can
+        # legitimately re-enter the frontier), and duplicates are
+        # legal in that regime anyway — conservative no-op: just
+        # clear the marker (retry_failed doesn't set it either then)
+        if op == "retry_failed" and frontier is not None and self.cfg.dedup:
             fkeys = frontier.select("url_key")
             for e in self.store._epochs("failed", epoch):
                 delta = self.store.read_delta_single("failed", e, FAILED_SCHEMA)
@@ -132,22 +137,35 @@ class CrawlJob:
                 self.store.rewrite(
                     "seen", prev_seen.unionByName(new_seen), epoch
                 )
-                if self.cfg.bloom_enabled:
-                    prev_shards = self.store.read_snapshot(
-                        "seen_shards", epoch
-                    )
-                    delta = build_seen_shards(
-                        new_seen,
-                        self.cfg.bloom_shards,
-                        self.cfg.bloom_shard_bits,
-                        epoch,
-                    )
-                    self.store.rewrite(
-                        "seen_shards",
-                        merge_seen_shards(prev_shards, delta, epoch),
-                        epoch,
-                    )
             new_seen.unpersist()
+            if self.cfg.bloom_enabled:
+                # The crash may have landed BETWEEN the seen rewrite
+                # and the seen_shards rewrite: the seen delta is then
+                # complete (missing == 0) but the shards lack the
+                # seeded keys — and Bloom-negative candidates bypass
+                # the exact anti-join, so those URLs would be
+                # re-admitted as duplicate url_keys later.  missing
+                # can't detect that window, so OR-fold this epoch's
+                # whole seen delta unconditionally: the shard merge is
+                # idempotent (bitwise OR), an already-folded delta is
+                # a no-op.
+                cur_seen = self.store.read_delta_single(
+                    "seen", epoch, SEEN_SCHEMA
+                )
+                prev_shards = self.store.read_snapshot(
+                    "seen_shards", epoch
+                )
+                delta = build_seen_shards(
+                    cur_seen,
+                    self.cfg.bloom_shards,
+                    self.cfg.bloom_shard_bits,
+                    epoch,
+                )
+                self.store.rewrite(
+                    "seen_shards",
+                    merge_seen_shards(prev_shards, delta, epoch),
+                    epoch,
+                )
         self.store.commit(frontier_size=None, frontier_churn=None,
                           pending_op=None)
 
@@ -461,7 +479,11 @@ class CrawlJob:
             # retry_failed would then duplicate url_keys, violating
             # the MOR unique-key tombstone assumption.  The marker is
             # cleared only in the final commit, so restore reconciles.
-            self.store.commit(pending_op="retry_failed")
+            # dedup=False skips the marker: the heal's anti-join would
+            # purge failed records whose URL legitimately re-entered
+            # the frontier, and duplicates are legal in that regime.
+            if self.cfg.dedup:
+                self.store.commit(pending_op="retry_failed")
             frontier = self.store.read_snapshot("frontier", epoch, FRONTIER_SCHEMA)
             self.store.rewrite("frontier", frontier.unionByName(rows), epoch)
             # rewrite the failed deltas minus the retried rows

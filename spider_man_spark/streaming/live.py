@@ -99,20 +99,29 @@ def stream_host_fetch_stats(
     gap = int(min_gap_ms)
 
     def track(key, pdfs, state):
+        import numpy as np
         import pandas as pd
 
         (host,) = key
         last_ts, n, viol = state.get if state.exists else (None, 0, 0)
-        for pdf in pdfs:
-            for ts in sorted(int(t) for t in pdf["ts_ms"]):
-                if (
-                    last_ts is not None
-                    and gap > 0
-                    and ts - last_ts < gap
-                ):
-                    viol += 1
-                last_ts = ts
-                n += 1
+        # concat ALL Arrow chunks before sorting — a group whose
+        # micro-batch spans several chunks must gap-scan one combined
+        # timeline, not per-chunk timelines; then the scan is a single
+        # vectorized diff (a hot host can deliver 10^6 events in one
+        # batch — a per-row Python loop would be this operator's floor)
+        chunks = [pdf["ts_ms"].to_numpy(dtype=np.int64) for pdf in pdfs]
+        ts = (
+            np.sort(np.concatenate(chunks))
+            if chunks else np.empty(0, dtype=np.int64)
+        )
+        if ts.size:
+            if gap > 0:
+                seq = ts if last_ts is None else np.concatenate(
+                    ([np.int64(last_ts)], ts)
+                )
+                viol += int((np.diff(seq) < gap).sum())
+            last_ts = int(ts[-1])
+            n += int(ts.size)
         state.update((last_ts, n, viol))
         yield pd.DataFrame(
             {

@@ -240,3 +240,108 @@ def test_churn_volume_compaction_bounds_chain(spark, tmp_path, corpus):
     )
     assert mor_b[:2] == full[:2]
     assert mor_b[2] <= 2
+
+
+def test_insert_crash_after_seen_folds_bloom(spark, tmp_path, corpus):
+    """Crash BETWEEN the seen rewrite and the seen_shards rewrite
+    (bloom on): the seen delta is complete, so the old
+    missing-rows-gated heal skipped the shard fold and the Bloom layer
+    permanently lacked the seeded keys — Bloom-negative candidates
+    bypass the exact anti-join and re-admit duplicate url_keys.
+    Restore must OR-fold the epoch's seen delta unconditionally."""
+    from spider_man_spark.builders import build_requests
+    from spider_man_spark.functions.urls import canonicalize_frontier
+    from spider_man_spark.operators.dedup import dedup_candidates
+    from spider_man_spark.schemas import SEEN_SCHEMA
+
+    cfg = CrawlConfig(
+        workdir=str(tmp_path / "wd"), tokens_per_epoch=20,
+        bloom_enabled=True, bloom_shards=4, bloom_shard_bits=1 << 12,
+    )
+    job = CrawlJob(spark, cfg, corpus=corpus)
+    job.insert_requests(["http://h0.test/p/0"])
+
+    orig_rewrite = StateStore.rewrite
+
+    def crashing_rewrite(self, kind, df, epoch):
+        if kind == "seen_shards":
+            raise RuntimeError("simulated crash")
+        return orig_rewrite(self, kind, df, epoch)
+
+    StateStore.rewrite = crashing_rewrite
+    try:
+        with pytest.raises(RuntimeError):
+            job.insert_requests(
+                ["http://h1.test/p/0", "http://h2.test/p/0"]
+            )
+    finally:
+        StateStore.rewrite = orig_rewrite
+    assert job.store.manifest()["pending_op"] == "insert_requests"
+
+    job2 = CrawlJob.load(
+        spark, cfg.workdir, corpus=corpus,
+        bloom_enabled=True, bloom_shards=4, bloom_shard_bits=1 << 12,
+    )
+    assert "pending_op" not in job2.store.manifest()
+    # the production hazard path: the Bloom-prefiltered dedup the
+    # crawl epoch runs.  A key the shards lack comes back
+    # "definitely new" and bypasses the exact anti-join entirely.
+    ep = job2.store.last_epoch()
+    seen = job2.store.read_deltas("seen", ep, SEEN_SCHEMA)
+    shards = job2.store.read_snapshot("seen_shards", ep)
+    cand = canonicalize_frontier(
+        spark.createDataFrame(
+            build_requests(["http://h1.test/p/0", "http://h2.test/p/0"]),
+            FRONTIER_SCHEMA,
+        ),
+        cfg.base_url,
+        cfg.n_host_shards,
+    )
+    readmitted = dedup_candidates(
+        cand, seen, seen_shards=shards, n_shards=cfg.bloom_shards
+    )
+    assert readmitted.count() == 0
+
+
+def test_retry_heal_skipped_when_dedup_off(spark, tmp_path):
+    """dedup=False: a failed URL can legitimately re-enter the
+    frontier, so (a) retry_failed must not set the pending-op marker
+    (the heal's anti-join would purge those failed records on a crash
+    restore) and (b) a stale marker must reconcile as a conservative
+    no-op — marker cleared, failed deltas untouched."""
+    c = make_corpus(spark, n_hosts=1, pages_per_host=40, out_degree=1,
+                    images_per_host=1)
+    cfg = CrawlConfig(workdir=str(tmp_path / "wd"), tokens_per_epoch=50,
+                      max_retries=2, dedup=False)
+    job = CrawlJob(spark, cfg, corpus=c)
+    job.insert_requests(["http://h0.test/p/13"])  # j=13 -> status 500
+    job.run_until_zero(max_epochs=8)
+    assert job.failed().count() == 1
+    # the same URL legitimately re-enters the frontier (dedup off)
+    assert job.insert_requests(["http://h0.test/p/13"]) == 1
+
+    # (a) crash mid-retry: no marker was set, so restore has nothing
+    # to (wrongly) heal
+    orig_rewrite = StateStore.rewrite
+
+    def crashing_rewrite(self, kind, df, epoch):
+        if kind == "failed":
+            raise RuntimeError("simulated crash")
+        return orig_rewrite(self, kind, df, epoch)
+
+    StateStore.rewrite = crashing_rewrite
+    try:
+        with pytest.raises(RuntimeError):
+            job.retry_failed()
+    finally:
+        StateStore.rewrite = orig_rewrite
+    assert "pending_op" not in job.store.manifest()
+
+    # (b) stale marker (e.g. written before a dedup config flip):
+    # reconcile clears it WITHOUT anti-joining the failed deltas away,
+    # even though the failed url_key now also sits in the frontier
+    job.store.commit(pending_op="retry_failed")
+    job2 = CrawlJob.load(spark, cfg.workdir, corpus=c, max_retries=2,
+                         dedup=False)
+    assert "pending_op" not in job2.store.manifest()
+    assert job2.failed().count() == 1

@@ -332,3 +332,133 @@ def test_ann_ivf_recall_and_pruning(spark, vectors):
     assert full == brute
     # the nprobe=2 scan actually restricted cells
     assert indexed.select("centroid_id").distinct().count() > 2
+
+
+def test_ann_ivf_partitioned_equals_computed(spark, vectors, tmp_path):
+    """An IVF-partitioned corpus (write_ivf_corpus) answers the same
+    top-k as the in-memory indexed path with the same centroids, the
+    centroid sidecar round-trips, and the probe reads only the probed
+    cells' files (partition pruning at file-listing time — the same
+    layout-as-index claim the LSH family proves)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spider_man_spark.operators.similarity import (
+        ann_topk_ivf,
+        ann_topk_ivf_partitioned,
+        ivf_index,
+        load_ivf_centroids,
+        write_ivf_corpus,
+    )
+
+    df, base = vectors
+    path = str(tmp_path / "ivf")
+    centroids = write_ivf_corpus(df, path, n_centroids=8, seed=7)
+    assert np.allclose(load_ivf_centroids(path), centroids)
+    total_files = sum(
+        1 for root, _d, files in os.walk(path)
+        for f in files if f.endswith(".parquet")
+    )
+    indexed, _ = ivf_index(df, n_centroids=8, seed=7)
+    for qid in (3, 11, 25):
+        q = [float(x) for x in base[qid]]
+        want = [
+            (r.vec_id, r.cosine)
+            for r in ann_topk_ivf(
+                indexed, centroids, q, k=4, nprobe=3
+            ).collect()
+        ]
+        got = [
+            (r.vec_id, r.cosine)
+            for r in ann_topk_ivf_partitioned(
+                spark, path, q, k=4, nprobe=3
+            ).collect()
+        ]
+        assert got == want, f"qid {qid}"
+    # pruning evidence: the nprobe=3 scan touches <= 3 cell files out
+    # of every written cell
+    q = [float(x) for x in base[3]]
+    qv = np.asarray(q)
+    cn = np.linalg.norm(centroids, axis=1)
+    cn[cn == 0] = 1.0
+    sims = centroids @ qv / (cn * np.linalg.norm(qv))
+    probe = [int(i) for i in np.argsort(-sims)[:3]]
+    scanned = (
+        spark.read.parquet(path)
+        .filter(F.col("centroid_id").isin(probe))
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert scanned <= 3 < total_files
+
+
+def test_ivf_sampled_fit_stays_exact_at_full_probe(spark, vectors):
+    """With fit_sample_rows below the corpus size the k-means fit runs
+    on a seeded sample — centroid quality may shift, but full-probe
+    search must STILL equal brute force exactly (the integrity
+    invariant: cells partition the corpus, so probing all of them is
+    an exact scan regardless of how good the centroids are)."""
+    from spider_man_spark.operators.similarity import ann_topk_ivf, ivf_index
+
+    df, base = vectors
+    indexed, centroids = ivf_index(
+        df, n_centroids=4, seed=7, fit_sample_rows=20
+    )
+    assert indexed.count() == 40  # assignment is always the full corpus
+    q = [float(x) for x in base[11]]
+    full = [r.vec_id for r in ann_topk_ivf(
+        indexed, centroids, q, k=5, nprobe=4
+    ).collect()]
+    brute = [r.vec_id for r in cosine_topk(df, q, k=5).collect()]
+    assert full == brute
+
+
+def test_ann_batch_bucketed_custom_corpus_cols(spark, vectors):
+    """A corpus table saved under non-default id/vec column names is
+    readable by ann_topk_lsh_batch_bucketed via its id_col /
+    corpus_vec_col params (output schema stays qid/vec_id/cosine)."""
+    from pyspark.sql import functions as F
+
+    from spider_man_spark.operators.similarity import (
+        ann_topk_lsh_batch,
+        ann_topk_lsh_batch_bucketed,
+        save_bucketed_corpus_table,
+    )
+
+    df, base = vectors
+    df = df.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    renamed = df.select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("emb")
+    )
+    planes = random_planes(16, n_planes=8)
+    table = "ann_bucketed_custom_cols"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    save_bucketed_corpus_table(
+        renamed, table, n_buckets=8, id_col="doc_id", vec_col="emb",
+        planes=planes,
+    )
+    try:
+        queries = df.filter(F.col("vec_id").isin([0, 25])).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        plain = ann_topk_lsh_batch(
+            queries, df, k=4, planes=planes, probe_hamming=2
+        )
+        bucketed = ann_topk_lsh_batch_bucketed(
+            spark, table, queries, k=4, planes=planes, probe_hamming=2,
+            id_col="doc_id", corpus_vec_col="emb",
+        )
+
+        def collect_map(res):
+            out = {}
+            for r in res.collect():
+                out.setdefault(r.qid, []).append((r.vec_id, r.cosine))
+            return out
+
+        assert collect_map(bucketed) == collect_map(plain)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS ann_bucketed_custom_cols")
