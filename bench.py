@@ -898,12 +898,35 @@ def ann_bench(cores: int, n_corpus: int = 1_000_000,
             probe_hamming=2,
         ).count()
         wall_b = time.monotonic() - t0
+        # structural (drift-proof) evidence next to the wall numbers:
+        # exchange counts from the EXECUTED plans of a small paired
+        # run — the bucketed layout must carry exactly one hash
+        # exchange fewer (the corpus side), independent of VM drift
+        sub_q2 = queries.filter(F.col("qid") < 200)
+        plain_res = ann_topk_lsh_batch(
+            sub_q2, corpus, k=10, planes=planes, probe_hamming=2
+        )
+        buck_res = ann_topk_lsh_batch_bucketed(
+            spark, "ann_bench_corpus", sub_q2, k=10, planes=planes,
+            probe_hamming=2,
+        )
+        plain_res.collect(), buck_res.collect()  # finalize AQE plans
+
+        def _n_exchanges(res):
+            plan = res._jdf.queryExecution().executedPlan().toString()
+            return plan.count("Exchange hashpartitioning")
+
+        exch_plain = _n_exchanges(plain_res)
+        exch_buck = _n_exchanges(buck_res)
         bucketed = {
             "save_table_sec": round(t_save, 2),
             "wall_sec": round(wall_b, 2),
             "queries_per_sec": round(n_queries / wall_b, 1),
             "topk_rows": n_out_b,
             "rows_match_plain": n_out_b == n_out,
+            "exchanges_plain": exch_plain,
+            "exchanges_bucketed": exch_buck,
+            "corpus_exchange_elided": exch_buck < exch_plain,
         }
 
         # partitioned-storage leg: the corpus written PARTITIONED BY
@@ -992,6 +1015,89 @@ def ann_bench(cores: int, n_corpus: int = 1_000_000,
             }
         finally:
             shutil.rmtree(pdir, ignore_errors=True)
+
+        # IVF family at-scale leg: the second index (centroid cells)
+        # written partitionBy("centroid_id") — same layout-as-index
+        # evidence as the LSH leg: scan fraction per probe, pruned
+        # latency, and full-probe == brute-force integrity on a 200k
+        # subsample (k-means fit bounded to 50k sampled rows)
+        from spider_man_spark.operators.similarity import (
+            ann_topk_ivf_partitioned,
+            cosine_topk,
+            write_ivf_corpus,
+        )
+
+        ivf_sub = corpus.filter(F.col("vec_id") < 200_000).cache()
+        ivf_sub.count()
+        idir = tempfile.mkdtemp(
+            prefix="bench_ann_ivf_",
+            dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+        )
+        ipath = os.path.join(idir, "corpus_ivf")
+        try:
+            t0 = time.monotonic()
+            write_ivf_corpus(
+                ivf_sub, ipath, n_centroids=64, seed=7, max_iter=5,
+                fit_sample_rows=50_000,
+            )
+            t_write_ivf = time.monotonic() - t0
+            ivf_files_total = sum(
+                1 for _r, _d, fs in os.walk(ipath)
+                for f in fs if f.endswith(".parquet")
+            )
+            q = qvecs[0][1]
+            lat_ivf = []
+            for _vid, qv in qvecs:
+                t0 = time.monotonic()
+                ann_topk_ivf_partitioned(
+                    spark, ipath, qv, k=10, nprobe=4
+                ).collect()
+                lat_ivf.append(time.monotonic() - t0)
+            from spider_man_spark.operators.similarity import (
+                load_ivf_centroids,
+            )
+
+            cents = load_ivf_centroids(ipath)
+            qv0 = np.asarray(q, dtype=np.float64)
+            cn = np.linalg.norm(cents, axis=1)
+            cn[cn == 0] = 1.0
+            sims_c = cents @ qv0 / (cn * (np.linalg.norm(qv0) or 1.0))
+            probe_cells = [int(i) for i in np.argsort(-sims_c)[:4]]
+            ivf_files_scanned = (
+                spark.read.parquet(ipath)
+                .filter(F.col("centroid_id").isin(probe_cells))
+                .select(F.input_file_name())
+                .distinct()
+                .count()
+            )
+            full_probe = [
+                (r.vec_id, r.cosine)
+                for r in ann_topk_ivf_partitioned(
+                    spark, ipath, q, k=10, nprobe=64
+                ).collect()
+            ]
+            brute_ref = [
+                (r.vec_id, r.cosine)
+                for r in cosine_topk(ivf_sub, q, k=10).collect()
+            ]
+            ivf = {
+                "n_corpus": 200_000,
+                "n_centroids": 64,
+                "fit_sample_rows": 50_000,
+                "nprobe": 4,
+                "write_sec": round(t_write_ivf, 2),
+                "files_total": ivf_files_total,
+                "files_scanned_one_probe": ivf_files_scanned,
+                "scan_fraction": round(
+                    ivf_files_scanned / ivf_files_total, 4
+                ),
+                "latency_ms_pruned_avg": int(
+                    1000 * sum(lat_ivf) / len(lat_ivf)
+                ),
+                "full_probe_equals_brute": full_probe == brute_ref,
+            }
+        finally:
+            shutil.rmtree(idir, ignore_errors=True)
         return {
             "n_corpus": n_corpus,
             "n_queries": n_queries,
@@ -1005,6 +1111,7 @@ def ann_bench(cores: int, n_corpus: int = 1_000_000,
             "recall_at_10_subsample": recall,
             "bucketed_table": bucketed,
             "partitioned": partitioned,
+            "ivf": ivf,
         }
     finally:
         spark.stop()
@@ -1401,6 +1508,14 @@ def main() -> None:
             compact["ann"]["partitioned_scan_fraction"] = an[
                 "partitioned"
             ].get("scan_fraction")
+        if isinstance(an.get("bucketed_table"), dict):
+            compact["ann"]["corpus_exchange_elided"] = an[
+                "bucketed_table"
+            ].get("corpus_exchange_elided")
+        if isinstance(an.get("ivf"), dict):
+            compact["ann"]["ivf_scan_fraction"] = an["ivf"].get(
+                "scan_fraction"
+            )
     if "frontier" in result:
         fb = result["frontier"]
         on, off, small = (
