@@ -232,6 +232,12 @@ class CrawlConfig:
     # the crawl -> training-data bridge (off by default: it adds one
     # deferred write per epoch).
     page_features: bool = False
+    # Per-fetch (host, ts_ms) events written to a fetch_events state
+    # table each epoch — the tailable feed for the stateful streaming
+    # per-host politeness tracker (stream_host_fetch_stats / the
+    # reference's per-host rate-limiter console surface).  Off by
+    # default: it adds one deferred write per epoch.
+    emit_fetch_events: bool = False
     # User callbacks (CommonSpider analogue, common_spider.ex:35-59).
     callbacks: dict[str, Callable[..., Any]] = field(default_factory=dict)
     # Extra pipeline stages: list of (fn: DataFrame -> DataFrame).

@@ -386,7 +386,12 @@ def run_epoch(
         parse_input = (
             pending_fetched
             if parse_input is None
-            else parse_input.unionByName(pending_fetched)
+            # allowMissingColumns: a pending snapshot parked by a
+            # different fetcher (DynamicFinch hot-swap) may lack
+            # fetcher-specific columns like fetched_at_ms
+            else parse_input.unionByName(
+                pending_fetched, allowMissingColumns=True
+            )
         )
 
     new_requests = items = None
@@ -648,6 +653,30 @@ def run_epoch(
     # epoch: each is an independent small-to-medium job whose stage
     # latency would otherwise sit on the sequential critical path
     deferred_writes: list[tuple[str, DataFrame]] = []
+    if cfg.emit_fetch_events and fetched is not None:
+        # live-monitor feed for the stateful per-host tracker
+        # (streaming/live.stream_host_fetch_stats): one (host, ts_ms)
+        # row per completed fetch, tailed by the file-stream source.
+        # HTTP fetches carry a real per-fetch completion wall time
+        # (fetched_at_ms from the fetch UDF); the corpus-stub fetcher
+        # has no wall clock, so its rows fall back to the driver's
+        # epoch timestamp — per-host totals stay exact, gap violations
+        # degenerate to 0 within an epoch (documented monitor-only
+        # semantics).  Reads the already-persisted fetched cache.
+        now_ms = int(time.time() * 1000)
+        ts = (
+            F.coalesce(F.col("fetched_at_ms"), F.lit(now_ms))
+            if "fetched_at_ms" in fetched.columns
+            else F.lit(now_ms)
+        )
+        deferred_writes.append((
+            "fetch_events",
+            fetched.select(
+                "host",
+                ts.cast("long").alias("ts_ms"),
+                F.lit(epoch).cast("int").alias("epoch"),
+            ),
+        ))
     if cfg.page_features and ok_now is not None:
         # crawl -> training-data bridge: per-page text features land
         # in their own delta table (reads the fetched cache)

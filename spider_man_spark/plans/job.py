@@ -512,6 +512,25 @@ class CrawlJob:
             "metrics", self.store.last_epoch(), METRICS_SCHEMA
         )
 
+    def host_fetch_stats_stream(self, min_gap_ms: int = 0) -> DataFrame:
+        """Live per-host fetch totals + politeness-gap violations: the
+        stateful streaming tracker (stream_host_fetch_stats) tailing
+        this crawl's fetch_events deltas.  Requires
+        ``emit_fetch_events=True`` in the config; start with any
+        trigger (``availableNow`` drains what a finished crawl wrote).
+        The per-host analogue of the reference's console stats printer
+        (stats.ex:59-100) backed by Spark's state store instead of a
+        driver-local ETS table."""
+        from spider_man_spark.streaming.live import (
+            stream_fetch_events,
+            stream_host_fetch_stats,
+        )
+
+        return stream_host_fetch_stats(
+            stream_fetch_events(self.spark, self.store.workdir),
+            min_gap_ms=min_gap_ms,
+        )
+
     def stats(self) -> dict[str, Any]:
         epoch = self.store.last_epoch()
         m = self.metrics().groupBy("component").agg(

@@ -68,6 +68,23 @@ FETCHED_SCHEMA = StructType(
         StructField("flag", StringType(), True),
         StructField("options", MapType(StringType(), StringType()), True),
         StructField("fetch_ms", LongType(), True),
+        StructField("fetched_at_ms", LongType(), True),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Fetch events — one (host, ts_ms) row per completed fetch, the feed
+# for the stateful streaming per-host politeness tracker
+# (streaming/live.stream_host_fetch_stats).  Written as per-epoch
+# deltas so a file-stream source can tail a live crawl, mirroring the
+# reference's per-host rate-limiter state surface
+# (component/rate_limiter.ex via engine.ex:145-191).
+# ---------------------------------------------------------------------------
+FETCH_EVENTS_SCHEMA = StructType(
+    [
+        StructField("host", StringType(), True),
+        StructField("ts_ms", LongType(), True),
+        StructField("epoch", IntegerType(), False),
     ]
 )
 

@@ -158,7 +158,9 @@ def fetch_batch(
     to 1/latency.  Each worker runs the bounded in-UDF retry
     (:func:`fetch_with_retry`), so a retry sleep only stalls its own
     slot, not the batch.  Returns column lists
-    (statuses, content_types, bodies, headers, fetch_ms)."""
+    (statuses, content_types, bodies, headers, fetch_ms, done_ts_ms —
+    the per-fetch completion wall time feeding the live per-host
+    politeness tracker, streaming/live.stream_host_fetch_stats)."""
     from concurrent.futures import ThreadPoolExecutor
 
     def one(url, options):
@@ -172,6 +174,7 @@ def fetch_batch(
             body,
             {str(k): str(v) for k, v in (h or {}).items()},
             int((time.monotonic() - t0) * 1000),
+            int(time.time() * 1000),
         )
 
     workers = max(1, int(pool_size))
@@ -182,7 +185,8 @@ def fetch_batch(
     bodies = [r[2] for r in results]
     hdrs = [r[3] for r in results]
     ms = [r[4] for r in results]
-    return statuses, cts, bodies, hdrs, ms
+    done_ts = [r[5] for r in results]
+    return statuses, cts, bodies, hdrs, ms, done_ts
 
 
 def http_fetch(
@@ -237,7 +241,7 @@ def http_fetch(
 
         for pdf in batches:
             out = {k: pdf[k].values for k in _CARRY}
-            statuses, cts, bodies, hdrs, ms = fetch_batch(
+            statuses, cts, bodies, hdrs, ms, done_ts = fetch_batch(
                 transport, pdf["url"].values, pdf["options"].values, pool_size
             )
             res = pd.DataFrame(out)
@@ -246,12 +250,13 @@ def http_fetch(
             res["headers"] = hdrs
             res["body"] = bodies
             res["fetch_ms"] = pd.array(ms, dtype="int64")
+            res["fetched_at_ms"] = pd.array(done_ts, dtype="int64")
             yield res
 
     schema = (
         "url_key string, url string, host string, depth int, priority int, "
         "retries int, flag string, options map<string,string>, status int, "
         "content_type string, headers map<string,string>, body binary, "
-        "fetch_ms long"
+        "fetch_ms long, fetched_at_ms long"
     )
     return scheduled.select(*_CARRY).mapInPandas(_run, schema=schema)

@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spider_man_spark.schemas import ITEMS_SCHEMA, METRICS_SCHEMA
+from spider_man_spark.schemas import (
+    FETCH_EVENTS_SCHEMA,
+    ITEMS_SCHEMA,
+    METRICS_SCHEMA,
+)
 
 
 def stream_metrics(spark: SparkSession, workdir: str) -> DataFrame:
@@ -57,6 +61,18 @@ def stream_items(spark: SparkSession, workdir: str) -> DataFrame:
         .parquet(f"{workdir}/items/e_*")
     )
     return src.select("image_id", "w", "h", "fmt", "caption", "phash", "epoch")
+
+
+def stream_fetch_events(spark: SparkSession, workdir: str) -> DataFrame:
+    """Streaming tail of the fetch_events deltas a crawl writes when
+    ``emit_fetch_events`` is on — the input
+    :func:`stream_host_fetch_stats` expects (one ``(host, ts_ms)`` row
+    per completed fetch)."""
+    return (
+        spark.readStream.schema(FETCH_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(f"{workdir}/fetch_events/e_*")
+    )
 
 
 def windowed_event_counts(

@@ -409,7 +409,7 @@ def test_fetch_batch_concurrent_inflight_and_order():
         return (200, "text/html", url.encode(), {"x": "1"})
 
     urls = [f"http://h{i}.test/p" for i in range(pool * 2)]
-    statuses, cts, bodies, hdrs, ms = fetch_batch(
+    statuses, cts, bodies, hdrs, ms, done_ts = fetch_batch(
         transport, urls, [None] * len(urls), pool_size=pool,
         sleep=lambda s: None,
     )
@@ -419,6 +419,7 @@ def test_fetch_batch_concurrent_inflight_and_order():
     assert [b.decode() for b in bodies] == urls
     assert all(h == {"x": "1"} for h in hdrs)
     assert len(ms) == len(urls)
+    assert len(done_ts) == len(urls) and all(t > 0 for t in done_ts)
 
 
 def test_fetch_batch_retry_isolated_per_slot():
@@ -435,7 +436,7 @@ def test_fetch_batch_retry_isolated_per_slot():
         return (200, None, url.encode(), {})
 
     urls = ["http://a.test/ok", "http://b.test/flaky", "http://c.test/ok"]
-    statuses, _, bodies, _, _ = fetch_batch(
+    statuses, _, bodies, _, _, _ = fetch_batch(
         transport, urls, [None] * 3, pool_size=2, sleep=lambda s: None
     )
     assert statuses == [200, 200, 200]
@@ -600,3 +601,52 @@ def test_stateful_host_fetch_stats_across_restarts(spark, tmp_path):
     got = run_wave([("h0", 250), ("h1", 5000)], "hostfs2")
     assert got["h0"].fetches == 4 and got["h0"].violations == 2
     assert got["h1"].fetches == 2 and got["h1"].violations == 0
+
+
+def test_host_fetch_stats_stream_e2e(spark, tmp_path):
+    """emit_fetch_events wiring end-to-end: a short crawl writes
+    fetch_events deltas, and CrawlJob.host_fetch_stats_stream tails
+    them through the stateful tracker — per-host fetch totals must
+    equal the crawl's actual per-host fetch counts and the grand total
+    must match the metrics table's downloader totals."""
+    from spider_man_spark.sources.corpus import make_corpus
+
+    corpus = make_corpus(
+        spark, n_hosts=3, pages_per_host=8, out_degree=2, images_per_host=1
+    ).cache()
+    cfg = CrawlConfig(
+        workdir=str(tmp_path / "wd"), tokens_per_epoch=10,
+        emit_fetch_events=True,
+    )
+    job = CrawlJob(spark, cfg, corpus=corpus)
+    job.insert_requests([f"http://h{i}.test/p/0" for i in range(3)])
+    job.run_until_zero(max_epochs=6)
+
+    # ground truth: per-host event counts straight off the state table
+    # (one row per completed fetch by construction of the epoch write)
+    batch = spark.read.parquet(f"{cfg.workdir}/fetch_events/e_*")
+    want = {r.host: r.n for r in batch.groupBy("host").count()
+            .withColumnRenamed("count", "n").collect()}
+    assert want and sum(want.values()) > 0
+    # grand total cross-checked against an independent surface: the
+    # metrics table's downloader totals (one metrics row per epoch)
+    m = job.metrics().filter("component = 'downloader'")
+    assert sum(want.values()) == m.agg({"total": "sum"}).first()[0]
+
+    got = {}
+
+    def sink(batch_df, _bid):
+        for r in batch_df.collect():
+            got[r.host] = r
+
+    q = (
+        job.host_fetch_stats_stream(min_gap_ms=0)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert {h: r.fetches for h, r in got.items()} == want
+    assert all(r.violations == 0 for r in got.values())  # gap 0
