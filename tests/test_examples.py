@@ -40,3 +40,31 @@ def test_readme_spider_end_to_end(spark, tmp_path):
     # table sink (ETS set-semantics): merged view keyed by image_id
     merged = job.sink.sinks[0].merged(spark)
     assert merged.count() == want
+
+
+from training_data_pipeline import (  # noqa: E402
+    N_BASE_DOCS, N_EXACT_DUPS, N_JUNK, N_NEAR_DUPS,
+    run as run_training_pipeline,
+)
+
+
+def test_training_data_pipeline_end_to_end(spark, tmp_path):
+    """The beyond-reference worked example: quality gate drops the
+    junk, exact dedup removes the planted copies, MinHash removes the
+    planted near-dups, and the pruned IVF query returns the probe doc
+    as its own nearest neighbor."""
+    out = run_training_pipeline(spark, str(tmp_path))
+    assert out["total_docs"] == (
+        N_BASE_DOCS + N_EXACT_DUPS + N_NEAR_DUPS + N_JUNK
+    )
+    # the junk rows fail the quality/length gate
+    assert out["after_quality_gate"] == N_BASE_DOCS + N_EXACT_DUPS + N_NEAR_DUPS
+    # exact dedup folds every planted copy into its original
+    assert out["after_exact_dedup"] == N_BASE_DOCS + N_NEAR_DUPS
+    # near-dedup folds every planted one-word-swap revision
+    assert out["near_dup_pairs"] >= N_NEAR_DUPS
+    assert out["training_docs"] == N_BASE_DOCS
+    # retrieval sanity: the probe doc is its own nearest neighbor at
+    # cosine 1.0 through the partition-pruned IVF read
+    top_id, top_cos = out["neighbors"][0]
+    assert top_id == out["probe_doc_id"] and top_cos == 1.0
