@@ -443,6 +443,32 @@ def q_ann_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF layout-as-index (operators/similarity.write_ivf_corpus /
+    ann_topk_ivf_partitioned): the corpus written
+    ``partitionBy(centroid_id)`` with its centroid sidecar, queried
+    through the partition-pruned reader at FULL probe (nprobe =
+    n_centroids) — where the answer must equal brute-force cosine
+    top-k exactly, whatever the (sampled) k-means fit produced.  The
+    pruned-nprobe scan fraction is pytest- and bench-covered
+    (test_ann_ivf_partitioned_equals_computed, BENCH ann.ivf); this
+    gate proves the persisted layout loses no rows against DuckDB."""
+    import tempfile
+
+    from spider_man_spark.operators.similarity import (
+        ann_topk_ivf_partitioned,
+        write_ivf_corpus,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    path = tempfile.mkdtemp(prefix="ann_ivf_gate_") + "/corpus"
+    write_ivf_corpus(
+        emb.select("vec_id", "embedding"), path, n_centroids=16, seed=42
+    )
+    return ann_topk_ivf_partitioned(spark, path, qvec, k=10, nprobe=16)
+
+
 def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 12) -> str:
     """DuckDB mirror of q_ann_lsh_topk: the seeded planes are embedded
     as literal DOUBLE[] lists (repr() round-trips exactly), bucket bit i
@@ -712,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_partitioned_topk": q_ann_partitioned_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_partitioned": q_ann_ivf_partitioned,
         "ann_batch_topk": q_ann_batch_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "global_topk": q_global_topk,
@@ -948,6 +975,16 @@ def oracle_sql() -> dict[str, str]:
         # full-probe IVF == brute cosine top-k (cell assignment must
         # lose no rows); pruned-probe recall is pytest-only
         "ann_ivf_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) AS cosine
+            FROM embeddings, q
+            ORDER BY cosine DESC, vec_id ASC
+            LIMIT 10
+        """,
+        # the persisted centroid_id-partitioned layout + sidecar must
+        # not change the full-probe answer
+        "ann_ivf_partitioned": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,
                    round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) AS cosine
