@@ -469,6 +469,30 @@ def q_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivf_partitioned(spark, path, qvec, k=10, nprobe=16)
 
 
+def q_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF ANN (operators/similarity.ann_topk_ivf_batch): cell
+    assignment via a broadcast centroid table, candidates via a
+    centroid_id equi-join, per-query window top-k.  Gated at FULL
+    probe (nprobe = n_centroids) where the answer must equal the
+    brute-force batch top-k — same integrity contract as
+    ann_ivf_topk, proven on the N x M plan shape; pruned-nprobe
+    equivalence to the per-query loop is pytest-covered
+    (test_ann_ivf_batch_full_probe_equals_brute)."""
+    from spider_man_spark.operators.similarity import (
+        ann_topk_ivf_batch,
+        ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    indexed, centroids = ivf_index(emb, n_centroids=16, seed=42)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return ann_topk_ivf_batch(
+        queries, indexed, centroids, k=5, nprobe=16
+    ).orderBy("qid", F.col("cosine").desc(), "vec_id")
+
+
 def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 12) -> str:
     """DuckDB mirror of q_ann_lsh_topk: the seeded planes are embedded
     as literal DOUBLE[] lists (repr() round-trips exactly), bucket bit i
@@ -739,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_partitioned_topk": q_ann_partitioned_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_partitioned": q_ann_ivf_partitioned,
+        "ann_ivf_batch": q_ann_ivf_batch,
         "ann_batch_topk": q_ann_batch_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "global_topk": q_global_topk,
@@ -991,6 +1016,18 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q
             ORDER BY cosine DESC, vec_id ASC
             LIMIT 10
+        """,
+        # full-probe batch IVF == brute-force batch top-k (N x M)
+        "ann_ivf_batch": """
+            WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 3)
+            SELECT q.qid, e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine
+            FROM q JOIN embeddings e ON TRUE
+            QUALIFY row_number() OVER (
+                PARTITION BY q.qid ORDER BY cosine DESC, e.vec_id ASC
+            ) <= 5
+            ORDER BY qid, cosine DESC, vec_id
         """,
         "ann_batch_topk": _ann_batch_oracle_sql(),
         "embedding_topk": """

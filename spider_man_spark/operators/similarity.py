@@ -564,6 +564,84 @@ def ann_topk_ivf(
     )
 
 
+def ann_topk_ivf_batch(
+    queries: DataFrame,
+    indexed: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 8,
+    q_id_col: str = "qid",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch ANN over an :func:`ivf_index` — the training-data N x M
+    shape for the centroid family, mirroring
+    :func:`ann_topk_lsh_batch`'s plan discipline (candidates from an
+    equi-join, never all-pairs):
+
+    1. cell assignment: each query scores every centroid against a
+       BROADCAST literal centroid table (n_q x n_centroids rows, no
+       shuffle — centroids are tiny by construction) and keeps its
+       ``nprobe`` nearest via a window rank;
+    2. candidate generation: a ``centroid_id`` equi-join with the
+       indexed corpus;
+    3. exact cosine + per-query window top-k on the candidates.
+
+    Three shuffles (cell rank on qid, join on centroid_id, final
+    top-k on qid) regardless of M.  At full probe
+    (nprobe = n_centroids) the result equals brute-force batch top-k
+    exactly — cells partition the corpus."""
+    from pyspark.sql import Window
+
+    spark = queries.sparkSession
+    cent = F.broadcast(
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "centroid_id int, cvec array<double>",
+        )
+    )
+    qv = F.col("qv").cast("array<double>")
+    # UNROUNDED centroid cosine for the cell ranking (internal order
+    # only; the reported candidate cosine below keeps the 6dp contract)
+    csim = F.aggregate(
+        F.zip_with(qv, F.col("cvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (vec_norm(qv) * vec_norm(F.col("cvec")))
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("__csim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        queries.select(F.col(q_id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .crossJoin(cent)
+        .withColumn("__csim", csim)
+        .withColumn("__crk", F.row_number().over(wq))
+        .filter(F.col("__crk") <= nprobe)
+        .select("qid", "qv", "centroid_id")
+    )
+    cand = probes.join(
+        indexed.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("cv"),
+            "centroid_id",
+        ),
+        "centroid_id",
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.select(
+            "qid",
+            "vec_id",
+            cosine_sim_cols(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def brute_force_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

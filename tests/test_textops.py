@@ -462,3 +462,48 @@ def test_ann_batch_bucketed_custom_corpus_cols(spark, vectors):
         assert collect_map(bucketed) == collect_map(plain)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS ann_bucketed_custom_cols")
+
+
+def test_ann_ivf_batch_full_probe_equals_brute(spark, vectors):
+    """Batch IVF at full probe (nprobe = n_centroids) must equal the
+    per-query brute-force top-k exactly; at a pruned nprobe it must
+    equal the per-query ann_topk_ivf loop over the same index."""
+    from pyspark.sql import functions as F
+
+    from spider_man_spark.operators.similarity import (
+        ann_topk_ivf,
+        ann_topk_ivf_batch,
+        ivf_index,
+    )
+
+    df, base = vectors
+    indexed, centroids = ivf_index(df, n_centroids=8, seed=7)
+    indexed = indexed.cache()
+    queries = df.filter(F.col("vec_id").isin([0, 3, 25])).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+
+    def collect_map(res):
+        out = {}
+        for r in res.collect():
+            out.setdefault(r.qid, []).append((r.vec_id, r.cosine))
+        return out
+
+    full = collect_map(
+        ann_topk_ivf_batch(queries, indexed, centroids, k=4, nprobe=8)
+    )
+    for qid in (0, 3, 25):
+        q = [float(x) for x in base[qid]]
+        brute = [(r.vec_id, r.cosine) for r in cosine_topk(df, q, k=4).collect()]
+        assert full[qid] == brute, f"qid {qid} full-probe"
+
+    pruned = collect_map(
+        ann_topk_ivf_batch(queries, indexed, centroids, k=4, nprobe=2)
+    )
+    for qid in (0, 3, 25):
+        q = [float(x) for x in base[qid]]
+        want = [
+            (r.vec_id, r.cosine)
+            for r in ann_topk_ivf(indexed, centroids, q, k=4, nprobe=2).collect()
+        ]
+        assert pruned[qid] == want, f"qid {qid} nprobe=2"
