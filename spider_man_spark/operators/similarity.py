@@ -564,6 +564,66 @@ def ann_topk_ivf(
     )
 
 
+def _ivf_probe_cells(
+    queries: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int,
+    q_id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(qid, qv, centroid_id) probe rows: every query scores every
+    centroid against a BROADCAST literal centroid table (no shuffle —
+    centroids are tiny by construction) and keeps its ``nprobe``
+    nearest via a window rank.  The centroid cosine is UNROUNDED
+    (internal cell ordering only)."""
+    from pyspark.sql import Window
+
+    spark = queries.sparkSession
+    cent = F.broadcast(
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "centroid_id int, cvec array<double>",
+        )
+    )
+    qv = F.col("qv").cast("array<double>")
+    csim = F.aggregate(
+        F.zip_with(qv, F.col("cvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (vec_norm(qv) * vec_norm(F.col("cvec")))
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("__csim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        queries.select(F.col(q_id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .crossJoin(cent)
+        .withColumn("__csim", csim)
+        .withColumn("__crk", F.row_number().over(wq))
+        .filter(F.col("__crk") <= nprobe)
+        .select("qid", "qv", "centroid_id")
+    )
+
+
+def _batch_topk(cand: DataFrame, k: int) -> DataFrame:
+    """Exact cosine + per-query window top-k over (qid, qv, vec_id,
+    cv) candidate rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.select(
+            "qid",
+            "vec_id",
+            cosine_sim_cols(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def ann_topk_ivf_batch(
     queries: DataFrame,
     indexed: DataFrame,
@@ -591,34 +651,7 @@ def ann_topk_ivf_batch(
     top-k on qid) regardless of M.  At full probe
     (nprobe = n_centroids) the result equals brute-force batch top-k
     exactly — cells partition the corpus."""
-    from pyspark.sql import Window
-
-    spark = queries.sparkSession
-    cent = F.broadcast(
-        spark.createDataFrame(
-            [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
-            "centroid_id int, cvec array<double>",
-        )
-    )
-    qv = F.col("qv").cast("array<double>")
-    # UNROUNDED centroid cosine for the cell ranking (internal order
-    # only; the reported candidate cosine below keeps the 6dp contract)
-    csim = F.aggregate(
-        F.zip_with(qv, F.col("cvec"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    ) / (vec_norm(qv) * vec_norm(F.col("cvec")))
-    wq = Window.partitionBy("qid").orderBy(
-        F.col("__csim").desc(), F.col("centroid_id").asc()
-    )
-    probes = (
-        queries.select(F.col(q_id_col).alias("qid"), F.col(vec_col).alias("qv"))
-        .crossJoin(cent)
-        .withColumn("__csim", csim)
-        .withColumn("__crk", F.row_number().over(wq))
-        .filter(F.col("__crk") <= nprobe)
-        .select("qid", "qv", "centroid_id")
-    )
+    probes = _ivf_probe_cells(queries, centroids, nprobe, q_id_col, vec_col)
     cand = probes.join(
         indexed.select(
             F.col(id_col).alias("vec_id"),
@@ -627,19 +660,90 @@ def ann_topk_ivf_batch(
         ),
         "centroid_id",
     )
-    w = Window.partitionBy("qid").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
+    return _batch_topk(cand, k)
+
+
+def save_ivf_corpus_table(
+    df: DataFrame,
+    table: str,
+    n_centroids: int = 256,
+    n_buckets: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+    fit_sample_rows: int = 100_000,
+) -> np.ndarray:
+    """Persist an IVF-indexed corpus as a HIVE-BUCKETED table hashed
+    on ``centroid_id`` — the IVF counterpart of
+    :func:`save_bucketed_corpus_table`: the batch join's M-row
+    corpus-side exchange is paid once at write time and elided from
+    every subsequent :func:`ann_topk_ivf_batch_bucketed` call (the
+    planner shuffles only the much smaller probe side into the
+    matching layout).  The centroids land in a companion table
+    ``{table}_centroids`` so a reader needs no side channel.  Returns
+    the centroids ndarray."""
+    indexed, centroids = ivf_index(
+        df, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+        seed=seed, max_iter=max_iter, fit_sample_rows=fit_sample_rows,
     )
-    return (
-        cand.select(
-            "qid",
-            "vec_id",
-            cosine_sim_cols(F.col("qv"), F.col("cv")).alias("cosine"),
+    (
+        indexed.write.mode("overwrite")
+        .bucketBy(n_buckets, "centroid_id")
+        .saveAsTable(table)
+    )
+    spark = df.sparkSession
+    (
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "centroid_id int, cvec array<double>",
         )
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .drop("__rk")
+        .write.mode("overwrite")
+        .saveAsTable(f"{table}_centroids")
     )
+    return centroids
+
+
+def load_ivf_table_centroids(spark, table: str) -> np.ndarray:
+    """Read back the companion centroid table a
+    :func:`save_ivf_corpus_table` corpus carries."""
+    rows = spark.table(f"{table}_centroids").orderBy("centroid_id").collect()
+    return np.asarray([list(r.cvec) for r in rows], dtype=np.float64)
+
+
+def ann_topk_ivf_batch_bucketed(
+    spark,
+    table: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 8,
+    q_id_col: str = "qid",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    corpus_vec_col: str | None = None,
+) -> DataFrame:
+    """:func:`ann_topk_ivf_batch` over a :func:`save_ivf_corpus_table`
+    corpus: identical semantics and output (same centroids -> same
+    cells -> same top-k), but the corpus side of the centroid_id
+    equi-join arrives pre-shuffled from the bucketed table layout, so
+    the plan carries ONE exchange fewer — the M-row one (pytest
+    asserts both the equivalence and the exchange count).
+    ``id_col``/``corpus_vec_col`` name the STORED corpus columns,
+    mirroring :func:`save_ivf_corpus_table`'s signature
+    (``corpus_vec_col`` defaults to ``vec_col``)."""
+    if centroids is None:
+        centroids = load_ivf_table_centroids(spark, table)
+    probes = _ivf_probe_cells(queries, centroids, nprobe, q_id_col, vec_col)
+    # select the STORED centroid_id column — recomputing the
+    # assignment would discard the table's hash-partitioning metadata
+    # and bring the corpus shuffle back
+    cb = spark.table(table).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(corpus_vec_col or vec_col).alias("cv"),
+        "centroid_id",
+    )
+    return _batch_topk(probes.join(cb, "centroid_id"), k)
 
 
 def brute_force_dup_pairs(

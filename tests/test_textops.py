@@ -507,3 +507,55 @@ def test_ann_ivf_batch_full_probe_equals_brute(spark, vectors):
             for r in ann_topk_ivf(indexed, centroids, q, k=4, nprobe=2).collect()
         ]
         assert pruned[qid] == want, f"qid {qid} nprobe=2"
+
+
+def test_ann_ivf_batch_bucketed_table_equals_plain(spark, vectors):
+    """Batch IVF over a Hive-bucketed corpus table == the plain batch
+    path (same centroids -> identical top-k), with one FEWER exchange
+    in the physical plan (corpus side pre-shuffled by the bucketBy
+    layout), and the companion centroid table round-trips."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from spider_man_spark.operators.similarity import (
+        ann_topk_ivf_batch,
+        ann_topk_ivf_batch_bucketed,
+        ivf_index,
+        load_ivf_table_centroids,
+        save_ivf_corpus_table,
+    )
+
+    df, base = vectors
+    table = "ann_ivf_bucketed_test_corpus"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_centroids")
+    cents = save_ivf_corpus_table(df, table, n_centroids=8, n_buckets=8,
+                                  seed=7)
+    try:
+        assert np.allclose(load_ivf_table_centroids(spark, table), cents)
+        indexed, cents2 = ivf_index(df, n_centroids=8, seed=7)
+        assert np.allclose(cents, cents2)  # same seed -> same fit
+        queries = df.filter(F.col("vec_id").isin([0, 3, 25])).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        plain = ann_topk_ivf_batch(queries, indexed, cents, k=4, nprobe=3)
+        bucketed = ann_topk_ivf_batch_bucketed(
+            spark, table, queries, k=4, nprobe=3
+        )
+
+        def collect_map(res):
+            out = {}
+            for r in res.collect():
+                out.setdefault(r.qid, []).append((r.vec_id, r.cosine))
+            return out
+
+        assert collect_map(bucketed) == collect_map(plain)
+
+        def n_exchanges(res):
+            plan = res._jdf.queryExecution().executedPlan().toString()
+            return plan.count("Exchange hashpartitioning")
+
+        assert n_exchanges(bucketed) < n_exchanges(plain)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_centroids")
