@@ -1080,6 +1080,44 @@ def ann_bench(cores: int, n_corpus: int = 1_000_000,
                 (r.vec_id, r.cosine)
                 for r in cosine_topk(ivf_sub, q, k=10).collect()
             ]
+            # batch-path structural evidence, mirroring the LSH
+            # bucketed_table leg: the Hive-bucketed IVF corpus must
+            # carry one hash exchange fewer in the executed plan
+            from spider_man_spark.operators.similarity import (
+                ann_topk_ivf_batch,
+                ann_topk_ivf_batch_bucketed,
+                ivf_index,
+                save_ivf_corpus_table,
+            )
+
+            spark.sql("DROP TABLE IF EXISTS ann_bench_ivf_corpus")
+            spark.sql("DROP TABLE IF EXISTS ann_bench_ivf_corpus_centroids")
+            cents_b = save_ivf_corpus_table(
+                ivf_sub, "ann_bench_ivf_corpus", n_centroids=64,
+                n_buckets=64, seed=7, max_iter=5, fit_sample_rows=50_000,
+            )
+            idx_b, _ = ivf_index(
+                ivf_sub, n_centroids=64, seed=7, max_iter=5,
+                fit_sample_rows=50_000,
+            )
+            sub_q3 = queries.filter(F.col("qid") < 200)
+            plain_ivf = ann_topk_ivf_batch(
+                sub_q3, idx_b, cents_b, k=10, nprobe=8
+            )
+            buck_ivf = ann_topk_ivf_batch_bucketed(
+                spark, "ann_bench_ivf_corpus", sub_q3, k=10, nprobe=8
+            )
+            rows_p = sorted(
+                (r.qid, r.vec_id, r.cosine) for r in plain_ivf.collect()
+            )
+            rows_b = sorted(
+                (r.qid, r.vec_id, r.cosine) for r in buck_ivf.collect()
+            )
+            ivf_exch_plain = _n_exchanges(plain_ivf)
+            ivf_exch_buck = _n_exchanges(buck_ivf)
+            spark.sql("DROP TABLE IF EXISTS ann_bench_ivf_corpus")
+            spark.sql("DROP TABLE IF EXISTS ann_bench_ivf_corpus_centroids")
+
             ivf = {
                 "n_corpus": 200_000,
                 "n_centroids": 64,
@@ -1095,6 +1133,10 @@ def ann_bench(cores: int, n_corpus: int = 1_000_000,
                     1000 * sum(lat_ivf) / len(lat_ivf)
                 ),
                 "full_probe_equals_brute": full_probe == brute_ref,
+                "batch_exchanges_plain": ivf_exch_plain,
+                "batch_exchanges_bucketed": ivf_exch_buck,
+                "batch_corpus_exchange_elided": ivf_exch_buck < ivf_exch_plain,
+                "batch_rows_match": rows_p == rows_b,
             }
         finally:
             shutil.rmtree(idir, ignore_errors=True)
