@@ -421,8 +421,10 @@ def q_ann_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_lsh_topk, so the result — and the DuckDB oracle — are
     identical by construction (pytest proves the equivalence; this
     gate proves it against DuckDB end-to-end).  The bucketed copy
-    lands in a fresh tempdir (written per call; the returned frame
-    reads it lazily, so it is not cleaned up here)."""
+    lands at a FIXED scratch path overwritten per call (the returned
+    frame reads it lazily, so it can't be deleted here; a fixed path
+    bounds the disk use of repeated gate runs)."""
+    import os
     import tempfile
 
     from spider_man_spark.operators.similarity import (
@@ -436,7 +438,7 @@ def q_ann_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
     planes = random_planes(len(qvec))
-    path = tempfile.mkdtemp(prefix="ann_part_gate_") + "/corpus"
+    path = os.path.join(tempfile.gettempdir(), "ann_part_gate", "corpus")
     write_bucketed_corpus(emb, path, planes=planes)
     return ann_topk_lsh_partitioned(
         spark, path, qvec, k=10, planes=planes, probe_hamming=2
@@ -452,7 +454,10 @@ def q_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k exactly, whatever the (sampled) k-means fit produced.  The
     pruned-nprobe scan fraction is pytest- and bench-covered
     (test_ann_ivf_partitioned_equals_computed, BENCH ann.ivf); this
-    gate proves the persisted layout loses no rows against DuckDB."""
+    gate proves the persisted layout loses no rows against DuckDB.
+    The index lands at a FIXED scratch path overwritten per call
+    (bounds the disk use of repeated gate runs)."""
+    import os
     import tempfile
 
     from spider_man_spark.operators.similarity import (
@@ -462,7 +467,7 @@ def q_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
-    path = tempfile.mkdtemp(prefix="ann_ivf_gate_") + "/corpus"
+    path = os.path.join(tempfile.gettempdir(), "ann_ivf_gate", "corpus")
     write_ivf_corpus(
         emb.select("vec_id", "embedding"), path, n_centroids=16, seed=42
     )

@@ -1024,6 +1024,7 @@ def ann_bench(cores: int, n_corpus: int = 1_000_000,
         from spider_man_spark.operators.similarity import (
             ann_topk_ivf_partitioned,
             cosine_topk,
+            ivf_index,
             write_ivf_corpus,
         )
 
@@ -1035,15 +1036,21 @@ def ann_bench(cores: int, n_corpus: int = 1_000_000,
         )
         ipath = os.path.join(idir, "corpus_ivf")
         try:
+            # ONE k-means fit shared by every layout below (fit is the
+            # expensive step; the layouts must agree on the same cells
+            # for the batch_rows_match evidence to be meaningful)
             t0 = time.monotonic()
-            write_ivf_corpus(
-                ivf_sub, ipath, n_centroids=64, seed=7, max_iter=5,
+            idx_b, cents_b = ivf_index(
+                ivf_sub, n_centroids=64, seed=7, max_iter=5,
                 fit_sample_rows=50_000,
             )
+            idx_b = idx_b.cache()
+            write_ivf_corpus(ivf_sub, ipath, precomputed=(idx_b, cents_b))
             t_write_ivf = time.monotonic() - t0
             ivf_files_total = sum(
                 1 for _r, _d, fs in os.walk(ipath)
-                for f in fs if f.endswith(".parquet")
+                for f in fs
+                if f.endswith(".parquet") and "_ivf_centroids" not in _r
             )
             q = qvecs[0][1]
             lat_ivf = []
@@ -1053,11 +1060,7 @@ def ann_bench(cores: int, n_corpus: int = 1_000_000,
                     spark, ipath, qv, k=10, nprobe=4
                 ).collect()
                 lat_ivf.append(time.monotonic() - t0)
-            from spider_man_spark.operators.similarity import (
-                load_ivf_centroids,
-            )
-
-            cents = load_ivf_centroids(ipath)
+            cents = cents_b
             qv0 = np.asarray(q, dtype=np.float64)
             cn = np.linalg.norm(cents, axis=1)
             cn[cn == 0] = 1.0
@@ -1086,19 +1089,14 @@ def ann_bench(cores: int, n_corpus: int = 1_000_000,
             from spider_man_spark.operators.similarity import (
                 ann_topk_ivf_batch,
                 ann_topk_ivf_batch_bucketed,
-                ivf_index,
                 save_ivf_corpus_table,
             )
 
             spark.sql("DROP TABLE IF EXISTS ann_bench_ivf_corpus")
             spark.sql("DROP TABLE IF EXISTS ann_bench_ivf_corpus_centroids")
-            cents_b = save_ivf_corpus_table(
-                ivf_sub, "ann_bench_ivf_corpus", n_centroids=64,
-                n_buckets=64, seed=7, max_iter=5, fit_sample_rows=50_000,
-            )
-            idx_b, _ = ivf_index(
-                ivf_sub, n_centroids=64, seed=7, max_iter=5,
-                fit_sample_rows=50_000,
+            save_ivf_corpus_table(
+                ivf_sub, "ann_bench_ivf_corpus", n_buckets=64,
+                precomputed=(idx_b, cents_b),
             )
             sub_q3 = queries.filter(F.col("qid") < 200)
             plain_ivf = ann_topk_ivf_batch(
@@ -1117,6 +1115,7 @@ def ann_bench(cores: int, n_corpus: int = 1_000_000,
             ivf_exch_buck = _n_exchanges(buck_ivf)
             spark.sql("DROP TABLE IF EXISTS ann_bench_ivf_corpus")
             spark.sql("DROP TABLE IF EXISTS ann_bench_ivf_corpus_centroids")
+            idx_b.unpersist()
 
             ivf = {
                 "n_corpus": 200_000,

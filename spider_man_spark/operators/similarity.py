@@ -453,6 +453,7 @@ def write_ivf_corpus(
     seed: int = 42,
     max_iter: int = 10,
     fit_sample_rows: int = 100_000,
+    precomputed: tuple[DataFrame, np.ndarray] | None = None,
 ) -> np.ndarray:
     """Persist an embedded corpus PARTITIONED BY its IVF cell — the
     directory layout becomes the index, exactly like
@@ -461,13 +462,13 @@ def write_ivf_corpus(
     scan lists and reads O(nprobe) cells instead of O(corpus).  One
     shuffle on centroid_id before the write keeps it to one file per
     cell.  The centroids (the only state a reader needs) are written
-    beside the data as ``_ivf_centroids.json`` — an underscore-
-    prefixed name, so Spark's parquet reader ignores it like
-    ``_SUCCESS``.  Returns the centroids ndarray."""
-    import json
-    import os
-
-    indexed, centroids = ivf_index(
+    beside the data as an ``_ivf_centroids`` parquet subdir — an
+    underscore-prefixed name, so Spark's reader ignores it like
+    ``_spark_metadata``, and the write goes through Spark's FS layer
+    so the same code works on s3a/hdfs/local paths.  Returns the
+    centroids ndarray.  ``precomputed`` takes an existing
+    :func:`ivf_index` result so several layouts can share one fit."""
+    indexed, centroids = precomputed or ivf_index(
         df, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
         seed=seed, max_iter=max_iter, fit_sample_rows=fit_sample_rows,
     )
@@ -477,19 +478,28 @@ def write_ivf_corpus(
         .partitionBy("centroid_id")
         .parquet(path)
     )
-    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
-        json.dump(centroids.tolist(), f)
+    spark = df.sparkSession
+    (
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "centroid_id int, cvec array<double>",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/_ivf_centroids")
+    )
     return centroids
 
 
-def load_ivf_centroids(path: str) -> np.ndarray:
+def load_ivf_centroids(spark, path: str) -> np.ndarray:
     """Read back the centroid sidecar a :func:`write_ivf_corpus` table
-    carries."""
-    import json
-    import os
-
-    with open(os.path.join(path, "_ivf_centroids.json")) as f:
-        return np.asarray(json.load(f), dtype=np.float64)
+    carries (tiny: n_centroids rows)."""
+    rows = (
+        spark.read.parquet(f"{path}/_ivf_centroids")
+        .orderBy("centroid_id")
+        .collect()
+    )
+    return np.asarray([list(r.cvec) for r in rows], dtype=np.float64)
 
 
 def ann_topk_ivf_partitioned(
@@ -510,7 +520,7 @@ def ann_topk_ivf_partitioned(
     :func:`ann_topk_ivf` over the same index (identical candidates,
     identical top-k)."""
     if centroids is None:
-        centroids = load_ivf_centroids(path)
+        centroids = load_ivf_centroids(spark, path)
     q = np.asarray(query, dtype=np.float64)
     qn = np.linalg.norm(q) or 1.0
     cn = np.linalg.norm(centroids, axis=1)
@@ -586,11 +596,18 @@ def _ivf_probe_cells(
         )
     )
     qv = F.col("qv").cast("array<double>")
+
+    def _safe(n: Column) -> Column:
+        # zero-norm -> 1.0, matching the numpy paths' `or 1.0` /
+        # `cn[cn == 0] = 1.0` guards (degenerate vectors score 0.0,
+        # never NULL, so batch == per-query on them too)
+        return F.when(n == 0, F.lit(1.0)).otherwise(n)
+
     csim = F.aggregate(
         F.zip_with(qv, F.col("cvec"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
-    ) / (vec_norm(qv) * vec_norm(F.col("cvec")))
+    ) / (_safe(vec_norm(qv)) * _safe(vec_norm(F.col("cvec"))))
     wq = Window.partitionBy("qid").orderBy(
         F.col("__csim").desc(), F.col("centroid_id").asc()
     )
@@ -606,18 +623,27 @@ def _ivf_probe_cells(
 
 def _batch_topk(cand: DataFrame, k: int) -> DataFrame:
     """Exact cosine + per-query window top-k over (qid, qv, vec_id,
-    cv) candidate rows."""
+    cv) candidate rows.  The query norm is zero-guarded exactly like
+    :func:`cosine_sim_lit`'s driver-side ``or 1.0`` so the batch and
+    per-query paths agree on degenerate query vectors."""
     from pyspark.sql import Window
 
+    a = F.col("qv").cast("array<double>")
+    b = F.col("cv").cast("array<double>")
+    qn = vec_norm(a)
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(
+        dot / (F.when(qn == 0, F.lit(1.0)).otherwise(qn) * vec_norm(b)), 6
+    )
     w = Window.partitionBy("qid").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
     return (
-        cand.select(
-            "qid",
-            "vec_id",
-            cosine_sim_cols(F.col("qv"), F.col("cv")).alias("cosine"),
-        )
+        cand.select("qid", "vec_id", cos.alias("cosine"))
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .drop("__rk")
@@ -673,6 +699,7 @@ def save_ivf_corpus_table(
     seed: int = 42,
     max_iter: int = 10,
     fit_sample_rows: int = 100_000,
+    precomputed: tuple[DataFrame, np.ndarray] | None = None,
 ) -> np.ndarray:
     """Persist an IVF-indexed corpus as a HIVE-BUCKETED table hashed
     on ``centroid_id`` — the IVF counterpart of
@@ -682,8 +709,9 @@ def save_ivf_corpus_table(
     planner shuffles only the much smaller probe side into the
     matching layout).  The centroids land in a companion table
     ``{table}_centroids`` so a reader needs no side channel.  Returns
-    the centroids ndarray."""
-    indexed, centroids = ivf_index(
+    the centroids ndarray.  ``precomputed`` takes an existing
+    :func:`ivf_index` result so several layouts can share one fit."""
+    indexed, centroids = precomputed or ivf_index(
         df, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
         seed=seed, max_iter=max_iter, fit_sample_rows=fit_sample_rows,
     )

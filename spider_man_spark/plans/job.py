@@ -111,8 +111,9 @@ class CrawlJob:
         # dedup=False drops the failed/frontier key-disjointness the
         # retry heal's anti-join relies on (a failed URL can
         # legitimately re-enter the frontier), and duplicates are
-        # legal in that regime anyway — conservative no-op: just
-        # clear the marker (retry_failed doesn't set it either then)
+        # legal in that regime anyway — so the failed-purging heal is
+        # skipped, but the final commit below still drops the skewed
+        # O(1) size chain and clears the marker.
         if op == "retry_failed" and frontier is not None and self.cfg.dedup:
             fkeys = frontier.select("url_key")
             for e in self.store._epochs("failed", epoch):
@@ -479,11 +480,12 @@ class CrawlJob:
             # retry_failed would then duplicate url_keys, violating
             # the MOR unique-key tombstone assumption.  The marker is
             # cleared only in the final commit, so restore reconciles.
-            # dedup=False skips the marker: the heal's anti-join would
-            # purge failed records whose URL legitimately re-entered
-            # the frontier, and duplicates are legal in that regime.
-            if self.cfg.dedup:
-                self.store.commit(pending_op="retry_failed")
+            # The marker is set in EVERY dedup regime: with dedup=False
+            # the reconcile skips the failed-purging anti-join (a
+            # failed URL can legitimately re-enter the frontier), but
+            # the marker must still force the O(1) size-chain drop —
+            # the frontier rewrite below skews it either way.
+            self.store.commit(pending_op="retry_failed")
             frontier = self.store.read_snapshot("frontier", epoch, FRONTIER_SCHEMA)
             self.store.rewrite("frontier", frontier.unionByName(rows), epoch)
             # rewrite the failed deltas minus the retried rows

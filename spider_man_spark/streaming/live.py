@@ -67,7 +67,16 @@ def stream_fetch_events(spark: SparkSession, workdir: str) -> DataFrame:
     """Streaming tail of the fetch_events deltas a crawl writes when
     ``emit_fetch_events`` is on — the input
     :func:`stream_host_fetch_stats` expects (one ``(host, ts_ms)`` row
-    per completed fetch)."""
+    per completed fetch).
+
+    Delivery is AT-LEAST-ONCE across crash recovery: if the driver
+    dies after an epoch's fetch_events write but before its manifest
+    commit, the epoch re-runs and rewrites the dir with new part-file
+    names, which a live tail ingests again (the file source cannot
+    roll back its checkpoint).  Totals in the stateful tracker then
+    over-count that one epoch — acceptable for a monitoring surface
+    (the reference's console stats have the same semantics); exact
+    counts live in the transactional metrics table."""
     return (
         spark.readStream.schema(FETCH_EVENTS_SCHEMA)
         .option("pathGlobFilter", "*.parquet")

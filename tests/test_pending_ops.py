@@ -305,10 +305,10 @@ def test_insert_crash_after_seen_folds_bloom(spark, tmp_path, corpus):
 
 def test_retry_heal_skipped_when_dedup_off(spark, tmp_path):
     """dedup=False: a failed URL can legitimately re-enter the
-    frontier, so (a) retry_failed must not set the pending-op marker
-    (the heal's anti-join would purge those failed records on a crash
-    restore) and (b) a stale marker must reconcile as a conservative
-    no-op — marker cleared, failed deltas untouched."""
+    frontier, so a crash mid-retry must NOT purge those failed records
+    at restore (the heal's anti-join assumes key disjointness) — but
+    the marker is still set, so the skewed O(1) size chain is still
+    dropped and the marker cleared."""
     c = make_corpus(spark, n_hosts=1, pages_per_host=40, out_degree=1,
                     images_per_host=1)
     cfg = CrawlConfig(workdir=str(tmp_path / "wd"), tokens_per_epoch=50,
@@ -320,8 +320,8 @@ def test_retry_heal_skipped_when_dedup_off(spark, tmp_path):
     # the same URL legitimately re-enters the frontier (dedup off)
     assert job.insert_requests(["http://h0.test/p/13"]) == 1
 
-    # (a) crash mid-retry: no marker was set, so restore has nothing
-    # to (wrongly) heal
+    # crash AFTER the frontier rewrite, BEFORE the failed rewrite and
+    # the size-chain commit: marker set, chain now stale
     orig_rewrite = StateStore.rewrite
 
     def crashing_rewrite(self, kind, df, epoch):
@@ -335,13 +335,15 @@ def test_retry_heal_skipped_when_dedup_off(spark, tmp_path):
             job.retry_failed()
     finally:
         StateStore.rewrite = orig_rewrite
-    assert "pending_op" not in job.store.manifest()
+    assert job.store.manifest()["pending_op"] == "retry_failed"
 
-    # (b) stale marker (e.g. written before a dedup config flip):
-    # reconcile clears it WITHOUT anti-joining the failed deltas away,
-    # even though the failed url_key now also sits in the frontier
-    job.store.commit(pending_op="retry_failed")
+    # restore: the failed deltas survive (no anti-join purge — the
+    # failed url_key also legitimately sits in the frontier), the
+    # marker is cleared, and the stale size chain is dropped so the
+    # next epoch recounts instead of trusting a skewed O(1) value
     job2 = CrawlJob.load(spark, cfg.workdir, corpus=c, max_retries=2,
                          dedup=False)
-    assert "pending_op" not in job2.store.manifest()
+    m = job2.store.manifest()
+    assert "pending_op" not in m
+    assert "frontier_size" not in m
     assert job2.failed().count() == 1

@@ -355,10 +355,11 @@ def test_ann_ivf_partitioned_equals_computed(spark, vectors, tmp_path):
     df, base = vectors
     path = str(tmp_path / "ivf")
     centroids = write_ivf_corpus(df, path, n_centroids=8, seed=7)
-    assert np.allclose(load_ivf_centroids(path), centroids)
+    assert np.allclose(load_ivf_centroids(spark, path), centroids)
     total_files = sum(
         1 for root, _d, files in os.walk(path)
-        for f in files if f.endswith(".parquet")
+        for f in files
+        if f.endswith(".parquet") and "_ivf_centroids" not in root
     )
     indexed, _ = ivf_index(df, n_centroids=8, seed=7)
     for qid in (3, 11, 25):
