@@ -51,6 +51,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _gate_scratch(name: str) -> str:
+    """Fixed-but-user-scoped scratch path for gates that persist an index
+    layout (the returned frame reads it lazily, so it can't be deleted in
+    the gate; a fixed path bounds the disk use of repeated runs).  Scoped
+    by uid so a shared /tmp on a multi-user host can't collide on
+    ownership or clobber another user's in-flight gate run."""
+    import os
+    import tempfile
+
+    uid = getattr(os, "getuid", lambda: 0)()
+    return os.path.join(tempfile.gettempdir(), f"{name}_{uid}", "corpus")
+
+
 # ---------------------------------------------------------------------------
 # frontier synthesis from events (shared by the scheduling queries and
 # their oracles — keep the SQL construction in sync)
@@ -422,11 +435,8 @@ def q_ann_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical by construction (pytest proves the equivalence; this
     gate proves it against DuckDB end-to-end).  The bucketed copy
     lands at a FIXED scratch path overwritten per call (the returned
-    frame reads it lazily, so it can't be deleted here; a fixed path
-    bounds the disk use of repeated gate runs)."""
-    import os
-    import tempfile
-
+    frame reads it lazily, so it can't be deleted here; a fixed
+    uid-scoped path bounds the disk use of repeated gate runs)."""
     from spider_man_spark.operators.similarity import (
         ann_topk_lsh_partitioned,
         random_planes,
@@ -438,7 +448,7 @@ def q_ann_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
     planes = random_planes(len(qvec))
-    path = os.path.join(tempfile.gettempdir(), "ann_part_gate", "corpus")
+    path = _gate_scratch("ann_part_gate")
     write_bucketed_corpus(emb, path, planes=planes)
     return ann_topk_lsh_partitioned(
         spark, path, qvec, k=10, planes=planes, probe_hamming=2
@@ -455,11 +465,8 @@ def q_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned-nprobe scan fraction is pytest- and bench-covered
     (test_ann_ivf_partitioned_equals_computed, BENCH ann.ivf); this
     gate proves the persisted layout loses no rows against DuckDB.
-    The index lands at a FIXED scratch path overwritten per call
-    (bounds the disk use of repeated gate runs)."""
-    import os
-    import tempfile
-
+    The index lands at a FIXED uid-scoped scratch path overwritten per
+    call (bounds the disk use of repeated gate runs)."""
     from spider_man_spark.operators.similarity import (
         ann_topk_ivf_partitioned,
         write_ivf_corpus,
@@ -467,7 +474,7 @@ def q_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
-    path = os.path.join(tempfile.gettempdir(), "ann_ivf_gate", "corpus")
+    path = _gate_scratch("ann_ivf_gate")
     write_ivf_corpus(
         emb.select("vec_id", "embedding"), path, n_centroids=16, seed=42
     )

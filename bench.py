@@ -1510,6 +1510,22 @@ def main() -> None:
     with open(full_path, "w") as f:
         json.dump(merged, f, indent=1)
 
+    # Keep COVERAGE.md's generated gate summary in sync with the newest
+    # CORRECTNESS_r*.json as part of every artifact pass (rounds 4-6 all
+    # ended with the committed summary one round stale because the sync
+    # was a manual start-of-round step). Best-effort: a bench run must
+    # never fail because the doc sync did.
+    try:
+        import subprocess
+        subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "sync_coverage.py")],
+            check=False, capture_output=True, timeout=60,
+        )
+    except Exception:
+        pass
+
     compact = {
         "metric": result["metric"],
         "value": result["value"],

@@ -316,7 +316,13 @@ def ann_topk_lsh_batch_bucketed(
     — the M-row one (pytest asserts both the equivalence and the
     exchange count).  ``id_col``/``corpus_vec_col`` name the STORED
     corpus columns, mirroring :func:`save_bucketed_corpus_table`'s
-    signature (``corpus_vec_col`` defaults to ``vec_col``)."""
+    signature (``corpus_vec_col`` defaults to ``vec_col``).
+
+    Migration note (round 6): the stored corpus columns were previously
+    hard-coded ``vec_id``/``embedding``.  A caller whose QUERIES use a
+    non-default ``vec_col`` against a table stored under the default
+    names must now pass ``corpus_vec_col="embedding"`` explicitly —
+    ``corpus_vec_col`` follows ``vec_col`` when omitted."""
     if planes is None:
         if dim is None:
             dim = len(queries.select(vec_col).first()[0])

@@ -147,9 +147,13 @@ class CrawlJob:
                 # the exact anti-join, so those URLs would be
                 # re-admitted as duplicate url_keys later.  missing
                 # can't detect that window, so OR-fold this epoch's
-                # whole seen delta unconditionally: the shard merge is
-                # idempotent (bitwise OR), an already-folded delta is
-                # a no-op.
+                # whole seen delta unconditionally: the shard BITS are
+                # idempotent (bitwise OR — an already-folded delta
+                # changes no bit), but merge_seen_shards SUMS n_items,
+                # so a re-fold double-counts this epoch's keys in that
+                # informational counter.  Do not gate saturation or
+                # rebuild decisions on n_items after a heal; the bits
+                # (and the exact seen table) stay correct.
                 cur_seen = self.store.read_delta_single(
                     "seen", epoch, SEEN_SCHEMA
                 )
