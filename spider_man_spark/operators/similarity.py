@@ -420,31 +420,46 @@ def ivf_index(
     ``partitionBy("centroid_id")`` (see :func:`write_ivf_corpus`), a
     query scans only its ``nprobe`` nearest cells.
 
-    The k-means FIT is bounded: when the corpus exceeds
-    ``fit_sample_rows`` the fit runs on a seeded uniform sample capped
-    near that size (coarse-quantizer quality needs O(centroids x
-    constant) points, not the corpus — at 10^9+ rows an unsampled fit
-    would iterate ``max_iter`` full scans).  ASSIGNMENT is always the
-    full corpus: one KMeansModel transform (JVM-side).  Deterministic
-    under a fixed seed for a fixed input partitioning."""
+    The k-means FIT is bounded: it runs on the ``fit_sample_rows``
+    rows with the smallest seeded xxhash64 of their vector — a
+    uniform pseudo-random subset taken as a map-side top-k
+    (TakeOrderedAndProject: per-partition heap, single bounded
+    reduce), so extracting the fit set costs ONE corpus pass and NO
+    separate ``count()`` job (coarse-quantizer quality needs
+    O(centroids x constant) points, not the corpus — at 10^9+ rows an
+    unsampled fit would iterate ``max_iter`` full scans).  ASSIGNMENT
+    is always the full corpus: one KMeansModel transform (JVM-side).
+    Deterministic under a fixed seed regardless of the input
+    partitioning (the hash order is a property of the values, unlike
+    ``DataFrame.sample``'s per-partition draw)."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     feat = df.select(
         F.col(id_col),
         F.col(vec_col),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("__f"),
     )
-    fit_df = feat.select("__f")
-    n = fit_df.count()
-    if n > fit_sample_rows:
-        fit_df = fit_df.sample(
-            fraction=min(1.0, fit_sample_rows / n), seed=seed
+    # persist the bounded fit set across the fit: KMeans.fit runs
+    # several actions (summary, k-means|| init, train) and its internal
+    # persist does not shield the SOURCE lineage — uncached, each one
+    # would re-stream the whole corpus (measured 3 extra passes)
+    fit_df = (
+        feat.select(
+            "__f", F.xxhash64(F.col(vec_col), F.lit(seed)).alias("__h")
         )
-    model = KMeans(
-        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="__f",
-        predictionCol="centroid_id",
-    ).fit(fit_df)
+        .orderBy("__h")
+        .limit(fit_sample_rows)
+        .select("__f")
+        .persist()
+    )
+    try:
+        model = KMeans(
+            k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="__f",
+            predictionCol="centroid_id",
+        ).fit(fit_df)
+    finally:
+        fit_df.unpersist()
     indexed = model.transform(feat).drop("__f")
     centroids = np.asarray([np.asarray(c) for c in model.clusterCenters()])
     return indexed, centroids

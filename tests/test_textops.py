@@ -416,6 +416,40 @@ def test_ivf_sampled_fit_stays_exact_at_full_probe(spark, vectors):
     assert full == brute
 
 
+def test_ivf_fit_makes_one_corpus_pass(spark):
+    """The k-means FIT path inside ivf_index must stream the corpus
+    exactly ONCE (the hash-top-k sample extraction, which KMeans then
+    persists) — no separate count() job (the pre-round-7 code paid a
+    full count pass just to derive a sample fraction; at 10^9 rows
+    that's an extra full scan per index build).  Counted by an
+    accumulator on a mapInPandas wrapper so every materialization of
+    the corpus is visible, whatever job it belongs to."""
+    from spider_man_spark.operators.similarity import ivf_index
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    acc = spark.sparkContext.accumulator(0)
+
+    def count_rows(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    instrumented = df.mapInPandas(count_rows, df.schema)
+    indexed, centroids = ivf_index(
+        instrumented, n_centroids=4, seed=7, fit_sample_rows=20
+    )
+    fit_rows_streamed = acc.value
+    # one pass = 60 corpus rows; the old count() pre-pass made it 120
+    assert fit_rows_streamed == 60, fit_rows_streamed
+    # assignment still covers the full corpus and fit quality is moot
+    # at full probe (integrity covered by the sampled-fit test above)
+    assert indexed.count() == 60
+    assert len(centroids) == 4
+
+
 def test_ann_batch_bucketed_custom_corpus_cols(spark, vectors):
     """A corpus table saved under non-default id/vec column names is
     readable by ann_topk_lsh_batch_bucketed via its id_col /
