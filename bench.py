@@ -1250,7 +1250,25 @@ def image_bench(cores: int, n_images: int = IMAGE_BENCH_N) -> dict:
 
     Reports imgs/s and decoded-MB/s for the scan and the dedup pair /
     group counts against the planted ground truth (1 exact + 1 near
-    dup per 10 images)."""
+    dup per 10 images).
+
+    Drift-proofing (round-7): this VM's wall-clock drifts up to ~2.5x
+    with zero code change (the r06 driver window halved imgs/s while
+    every invariant stayed identical), so the leg now records evidence
+    independent of the wall:
+      - ``cal_hash_per_s_before/after`` — single-core sha256 stamps
+        bracketing the timed work (same ``_quick_cal`` the scaling
+        legs use): a 2x wall swing with a matching cal swing is the
+        hypervisor, not the code;
+      - ``images_per_khash`` — throughput normalized by the mean cal
+        stamp (images per 1000 sha256 hashes of machine work), the
+        cross-round comparable number;
+      - ``decoded_bytes`` — total pixel bytes verified (a property of
+        the data shape: equal work every round, whatever the wall);
+      - executed-plan structure for both dedup ops (exchange counts
+        and a no-cartesian check, captured AFTER execution so the
+        AQE-final plan is the one recorded) — the bucket-equi-join
+        shape can't silently regress into an all-pairs plan."""
     from pyspark.sql import functions as F
 
     from spider_man_spark.functions.images import decode_items
@@ -1279,6 +1297,7 @@ def image_bench(cores: int, n_images: int = IMAGE_BENCH_N) -> dict:
             lambda it: it, schema="id long"
         ).count()
 
+        cal0 = _quick_cal()
         t0 = time.monotonic()
         decoded = decode_items(table.select("image_id", "bytes"))
         scan = (
@@ -1299,9 +1318,29 @@ def image_bench(cores: int, n_images: int = IMAGE_BENCH_N) -> dict:
         decode_wall = time.monotonic() - t0
 
         t0 = time.monotonic()
-        neardup = phash_neardup_pairs(table, max_hamming=3).count()
-        exact_groups = exact_dup_images(table).count()
+        nd_df = phash_neardup_pairs(table, max_hamming=3)
+        neardup = nd_df.count()
+        ex_df = exact_dup_images(table)
+        exact_groups = ex_df.count()
         dedup_wall = time.monotonic() - t0
+        cal1 = _quick_cal()
+
+        # untimed plan capture: execute each dedup frame once more so
+        # its OWN QueryExecution holds the AQE-final physical plan
+        # (count() above ran a derived plan), then record the shape
+        nd_df.collect()
+        ex_df.collect()
+
+        def _plan_shape(res):
+            plan = res._jdf.queryExecution().executedPlan().toString()
+            return {
+                "exchanges": plan.count("Exchange hashpartitioning"),
+                "cartesian": ("CartesianProduct" in plan
+                              or "BroadcastNestedLoopJoin" in plan),
+            }
+
+        nd_shape, ex_shape = _plan_shape(nd_df), _plan_shape(ex_df)
+        cal_mean = (cal0 + cal1) / 2.0
         return {
             "n_images": scan.n,
             "decode_ok": scan.n_ok,
@@ -1311,9 +1350,20 @@ def image_bench(cores: int, n_images: int = IMAGE_BENCH_N) -> dict:
             "decoded_mb_per_sec": round(
                 scan.decoded_bytes / 1e6 / decode_wall, 1
             ),
+            "decoded_bytes": int(scan.decoded_bytes),
             "neardup_pairs": neardup,
             "exact_dup_groups": exact_groups,
             "dedup_wall_sec": round(dedup_wall, 3),
+            "cal_hash_per_s_before": cal0,
+            "cal_hash_per_s_after": cal1,
+            "images_per_khash": round(
+                scan.n / decode_wall / cal_mean * 1000.0, 3
+            ),
+            "neardup_plan": nd_shape,
+            "exact_plan": ex_shape,
+            "dedup_plan_bucket_join_only": not (
+                nd_shape["cartesian"] or ex_shape["cartesian"]
+            ),
         }
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
@@ -1546,7 +1596,8 @@ def main() -> None:
         compact["image"] = {
             k: im[k]
             for k in ("n_images", "images_per_sec", "decoded_mb_per_sec",
-                      "neardup_pairs", "exact_dup_groups")
+                      "neardup_pairs", "exact_dup_groups",
+                      "images_per_khash", "dedup_plan_bucket_join_only")
             if k in im
         }
     if "ann" in result:
