@@ -238,6 +238,15 @@ class CrawlConfig:
     # reference's per-host rate-limiter console surface).  Off by
     # default: it adds one deferred write per epoch.
     emit_fetch_events: bool = False
+    # Exactly-once fetch_events delivery across crash-recovery epoch
+    # re-runs: the per-epoch delta is written to a hidden staging dir
+    # and renamed into the stream-visible e_* path only AFTER the
+    # epoch's manifest commit (publish-on-commit; a crash between
+    # commit and publish is rolled forward at the next job init).
+    # Default off: the plain write is one rename cheaper per epoch and
+    # at-least-once is fine for a monitoring surface — turn this on
+    # when the tracker's totals must stay trustworthy through crashes.
+    fetch_events_exactly_once: bool = False
     # User callbacks (CommonSpider analogue, common_spider.ex:35-59).
     callbacks: dict[str, Callable[..., Any]] = field(default_factory=dict)
     # Extra pipeline stages: list of (fn: DataFrame -> DataFrame).

@@ -894,14 +894,23 @@ def run_epoch(
     small_writes.append(("robots", robots_next))
 
     all_writes = deferred_writes + small_writes
+
+    def _writer(kind):
+        # exactly-once fetch_events: stage now, publish after the
+        # epoch's manifest commit (CrawlJob does the rename) — see
+        # StateStore.write_staged
+        if kind == "fetch_events" and cfg.fetch_events_exactly_once:
+            return store.write_staged
+        return store.write
+
     if len(all_writes) == 1:
-        store.write(all_writes[0][0], all_writes[0][1], epoch)
+        _writer(all_writes[0][0])(all_writes[0][0], all_writes[0][1], epoch)
     elif all_writes:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=len(all_writes)) as pool:
             futs = [
-                pool.submit(store.write, kind, df, epoch)
+                pool.submit(_writer(kind), kind, df, epoch)
                 for kind, df in all_writes
             ]
             for f in futs:

@@ -74,6 +74,10 @@ class CrawlJob:
         self._hook("prepare_for_start_post", self)
         # crash cleanup: drop partial epochs beyond the committed one
         self.store.prune_beyond(self.store.last_epoch())
+        # roll forward committed-but-unpublished staged fetch_events
+        # (exactly-once mode crashed between commit and publish) and
+        # drop uncommitted staged leftovers; no-op otherwise
+        self.store.heal_staged("fetch_events")
         self._reconcile_pending()
         self._bootstrap_robots()
         self._hook("init", self)
@@ -376,6 +380,10 @@ class CrawlJob:
             # reset the gate to "unknown" (mor/full oscillation)
             frontier_churn=res.frontier_churn,
         )
+        if self.cfg.emit_fetch_events and self.cfg.fetch_events_exactly_once:
+            # publish-on-commit: the staged fetch_events delta becomes
+            # stream-visible only now that the epoch can never re-run
+            self.store.publish_staged("fetch_events", epoch)
         # epoch > 0: nothing to fold on the very first epoch (and
         # 0 % compact_every == 0 would fire the trigger there)
         if self.cfg.compact_every and epoch and epoch % self.cfg.compact_every == 0:

@@ -165,6 +165,52 @@ class StateStore:
         path = os.path.join(self.workdir, kind, _edir(epoch))
         df.write.mode("overwrite").parquet(path)
 
+    # -- staged delta writes (publish-on-commit) --
+    # A delta tailed by a LIVE file-stream source (fetch_events) gets
+    # exactly-once delivery by writing to a dot-prefixed staging dir
+    # the stream's e_* glob can never match, then renaming it into
+    # place only AFTER the epoch's manifest commit.  Crash before the
+    # commit: the staged dir was never visible and the epoch re-run
+    # overwrites it.  Crash after the commit but before the rename:
+    # heal_staged rolls the rename forward at the next job init.
+    def write_staged(self, kind: str, df: DataFrame, epoch: int) -> None:
+        path = os.path.join(self.workdir, kind, f".staged_{_edir(epoch)}")
+        df.write.mode("overwrite").parquet(path)
+
+    def publish_staged(self, kind: str, epoch: int) -> bool:
+        src = os.path.join(self.workdir, kind, f".staged_{_edir(epoch)}")
+        dst = os.path.join(self.workdir, kind, _edir(epoch))
+        if not os.path.isdir(src):
+            return False
+        shutil.rmtree(dst, ignore_errors=True)
+        os.rename(src, dst)
+        return True
+
+    def heal_staged(self, kind: str) -> list[int]:
+        """Roll forward staged deltas of already-committed epochs
+        (crash landed between the manifest commit and the publish
+        rename); drop staged leftovers of uncommitted epochs (their
+        epoch re-runs and rewrites the staging dir anyway).  Returns
+        the epochs published."""
+        base = os.path.join(self.workdir, kind)
+        if not os.path.isdir(base):
+            return []
+        last = self.last_epoch()
+        published = []
+        for d in os.listdir(base):
+            if not d.startswith(".staged_e_"):
+                continue
+            tag = d[len(".staged_e_"):]
+            if not tag.isdigit():
+                continue
+            ep = int(tag)
+            if ep <= last:
+                if self.publish_staged(kind, ep):
+                    published.append(ep)
+            else:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+        return published
+
     def write_rows_local(
         self, kind: str, rows: list[tuple], schema: StructType, epoch: int
     ) -> None:

@@ -69,14 +69,22 @@ def stream_fetch_events(spark: SparkSession, workdir: str) -> DataFrame:
     :func:`stream_host_fetch_stats` expects (one ``(host, ts_ms)`` row
     per completed fetch).
 
-    Delivery is AT-LEAST-ONCE across crash recovery: if the driver
-    dies after an epoch's fetch_events write but before its manifest
-    commit, the epoch re-runs and rewrites the dir with new part-file
-    names, which a live tail ingests again (the file source cannot
-    roll back its checkpoint).  Totals in the stateful tracker then
-    over-count that one epoch — acceptable for a monitoring surface
-    (the reference's console stats have the same semantics); exact
-    counts live in the transactional metrics table."""
+    Delivery is AT-LEAST-ONCE across crash recovery by default: if
+    the driver dies after an epoch's fetch_events write but before
+    its manifest commit, the epoch re-runs and rewrites the dir with
+    new part-file names, which a live tail ingests again (the file
+    source cannot roll back its checkpoint).  Totals in the stateful
+    tracker then over-count that one epoch — acceptable for a
+    monitoring surface (the reference's console stats have the same
+    semantics); exact counts live in the transactional metrics table.
+
+    EXACTLY-ONCE is available via
+    ``CrawlConfig.fetch_events_exactly_once``: the crawl then stages
+    each epoch's delta in a hidden dir this source's ``e_*`` glob
+    can never match and renames it into place only after the epoch's
+    manifest commit (publish-on-commit; a crash between commit and
+    publish is rolled forward at the next job init), so a re-run
+    epoch's first, uncommitted write is never ingested."""
     return (
         spark.readStream.schema(FETCH_EVENTS_SCHEMA)
         .option("pathGlobFilter", "*.parquet")

@@ -650,3 +650,118 @@ def test_host_fetch_stats_stream_e2e(spark, tmp_path):
     q.awaitTermination(120)
     assert {h: r.fetches for h, r in got.items()} == want
     assert all(r.violations == 0 for r in got.values())  # gap 0
+
+
+def _drain_host_totals(job, ckpt, got):
+    """availableNow drain of the tracker stream into ``got`` (update
+    mode: keep the newest row per host); same checkpoint across calls
+    continues the stream instead of replaying it."""
+    def sink(batch_df, _bid):
+        for r in batch_df.collect():
+            got[r.host] = r.fetches
+
+    q = (
+        job.host_fetch_stats_stream(min_gap_ms=0)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return got
+
+
+def _crash_then_finish(spark, corpus, workdir, **cfg_extra):
+    """Run a crawl that CRASHES at epoch 2's manifest commit (after
+    the deferred fetch_events write landed), gets its tracker stream
+    drained mid-crash (the live-tail window where at-least-once
+    double-counts), then restarts and finishes.  Returns the final
+    per-host tracker totals."""
+    from spider_man_spark.plans.state import StateStore
+
+    cfg = CrawlConfig(
+        workdir=workdir, tokens_per_epoch=10, emit_fetch_events=True,
+        **cfg_extra,
+    )
+    job = CrawlJob(spark, cfg, corpus=corpus)
+    job.insert_requests([f"http://h{i}.test/p/0" for i in range(3)])
+
+    orig_commit = StateStore.commit
+
+    def crashing_commit(self, **kv):
+        if kv.get("epoch") == 2:
+            raise RuntimeError("simulated crash before epoch-2 commit")
+        return orig_commit(self, **kv)
+
+    StateStore.commit = crashing_commit
+    try:
+        with pytest.raises(RuntimeError):
+            job.run_until_zero(max_epochs=12)
+    finally:
+        StateStore.commit = orig_commit
+
+    # a live monitor tails the crawl DURING the crash window — this
+    # drain is what makes the re-run's rewrite a duplicate delivery
+    # in the default at-least-once mode
+    got: dict = {}
+    ckpt = f"{workdir}/_monitor_ckpt"
+    _drain_host_totals(job, ckpt, got)
+
+    # restart: 11 more epochs so the crash run's total scheduled
+    # epochs (1 + re-run 2..12) equal the clean run's 12 — epoch 2's
+    # re-run starts from the identical end-of-epoch-1 state, so the
+    # two runs do identical work
+    job2 = CrawlJob.load(
+        spark, workdir, corpus=corpus, tokens_per_epoch=10,
+        emit_fetch_events=True, **cfg_extra,
+    )
+    job2.run_until_zero(max_epochs=11)
+    return _drain_host_totals(job2, ckpt, got)
+
+
+def test_fetch_events_exactly_once_across_crash(spark, tmp_path):
+    """CrawlConfig.fetch_events_exactly_once: per-host tracker totals
+    after a mid-crawl crash + restart (with a live drain inside the
+    crash window) must equal a crash-free run's totals — the staged
+    delta is published only after the manifest commit, so the crashed
+    epoch's first write is never stream-visible.  The default
+    at-least-once mode over-counts in the same scenario (proving the
+    knob changes behavior, not just the label)."""
+    corpus = make_corpus(
+        spark, n_hosts=3, pages_per_host=8, out_degree=2, images_per_host=1
+    ).cache()
+
+    # baseline: crash-free run, knob on
+    cfg = CrawlConfig(
+        workdir=str(tmp_path / "clean"), tokens_per_epoch=10,
+        emit_fetch_events=True, fetch_events_exactly_once=True,
+    )
+    job = CrawlJob(spark, cfg, corpus=corpus)
+    job.insert_requests([f"http://h{i}.test/p/0" for i in range(3)])
+    job.run_until_zero(max_epochs=12)
+    want = _drain_host_totals(job, str(tmp_path / "clean_ckpt"), {})
+    assert want and sum(want.values()) > 0
+
+    # crash + restart with the knob ON: totals equal the clean run
+    exact = _crash_then_finish(
+        spark, corpus, str(tmp_path / "once"),
+        fetch_events_exactly_once=True,
+    )
+    assert exact == want
+    # and the tracker agrees with a batch read of the published table
+    # (a batch read is inherently exactly-once: the re-run's overwrite
+    # removed the first attempt's files) — same invariant, no cross-run
+    # determinism needed
+    batch = {
+        r.host: r.n
+        for r in spark.read.parquet(f"{tmp_path}/once/fetch_events/e_*")
+        .groupBy("host").count().withColumnRenamed("count", "n").collect()
+    }
+    assert exact == batch
+
+    # same crash in the DEFAULT mode: the mid-crash drain ingested the
+    # uncommitted epoch-2 delta, the re-run rewrote it, and the stream
+    # counts that epoch twice
+    dup = _crash_then_finish(spark, corpus, str(tmp_path / "atleast"))
+    assert sum(dup.values()) > sum(want.values())
