@@ -32,6 +32,11 @@ from spider_man_spark.functions.text import (
     token_count,
 )
 from spider_man_spark.functions.urls import canonicalize_url, url_host
+from spider_man_spark.operators.groups import (
+    connected_components,
+    dup_groups_from_pairs,
+    keep_canonical,
+)
 from spider_man_spark.operators.politeness import global_cap, rank_per_host
 from spider_man_spark.operators.similarity import (
     ann_topk_lsh,
@@ -277,6 +282,48 @@ def q_exact_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     both = docs.unionByName(copies)
     return exact_dup_pairs(both).orderBy("id_a", "id_b")
+
+
+def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over doubling chains (doc_id -> 2*doc_id):
+    each component is {odd * 2^k}, chains up to 9 hops — exercises the
+    alternating large-star/small-star transitive closure, which the
+    pair-emitting dedup gates (all equality cliques) never do.  Oracle
+    is a DuckDB recursive CTE computing min-reachable-id."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    nodes = docs.select("doc_id")
+    edges = docs.filter(
+        (F.col("doc_id") >= 1) & (F.col("doc_id") * 2 < 300)
+    ).select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") * 2).alias("b")
+    )
+    return (
+        connected_components(edges, nodes=nodes)
+        .select(F.col("id").alias("doc_id"), "group_id")
+        .orderBy("doc_id")
+    )
+
+
+def q_near_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dedup pipeline shape: MinHash-LSH pairs ->
+    connected components -> keep one canonical doc per group (min
+    doc_id).  At threshold 0.99 the pair set equals text equality, so
+    the kept set equals min-id-per-normalized-text — SQL-mirrorable."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    copies = docs.select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text", "lang", "source",
+        "n_chars",
+    )
+    both = docs.unionByName(copies)
+    pairs = minhash_lsh_pairs(
+        both, shingle_k=3, num_perm=32, bands=8, threshold=0.99
+    )
+    groups = dup_groups_from_pairs(pairs, nodes=both.select("doc_id"))
+    return (
+        keep_canonical(both, groups, id_col="doc_id")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
 
 
 def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -767,6 +814,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dedup": q_fingerprint_dedup,
         "exact_dup_pairs": q_exact_dup_pairs,
         "word_jaccard_pairs": q_word_jaccard_pairs,
+        "dup_groups": q_dup_groups,
+        "near_dedup_keep": q_near_dedup_keep,
         "minhash_lsh_dupes": q_minhash_lsh_dupes,
         "simhash_dupes": q_simhash_dupes,
         "ngram_jaccard": q_ngram_jaccard,
@@ -938,6 +987,35 @@ def oracle_sql() -> dict[str, str]:
               ON {_NORM.replace('text', 'a.text')} = {_NORM.replace('text', 'b.text')}
             WHERE a.doc_id < b.doc_id
             ORDER BY id_a, id_b
+        """,
+        "dup_groups": """
+            WITH RECURSIVE nodes AS (
+                SELECT doc_id AS id FROM documents WHERE doc_id < 300
+            ), edges AS (
+                SELECT doc_id AS a, doc_id * 2 AS b FROM documents
+                WHERE doc_id >= 1 AND doc_id * 2 < 300
+            ), sym AS (
+                SELECT a, b FROM edges UNION SELECT b, a FROM edges
+            ), reach(id, r) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.id
+            )
+            SELECT id AS doc_id, MIN(r) AS group_id
+            FROM reach GROUP BY id ORDER BY doc_id
+        """,
+        "near_dedup_keep": f"""
+            WITH docs2 AS (
+                SELECT doc_id, text, n_chars FROM documents WHERE doc_id < 60
+                UNION ALL
+                SELECT doc_id + 1000 AS doc_id, text, n_chars
+                FROM documents WHERE doc_id < 60
+            )
+            SELECT doc_id, n_chars FROM docs2
+            WHERE doc_id IN (
+                SELECT min(doc_id) FROM docs2 GROUP BY {_NORM}
+            )
+            ORDER BY doc_id
         """,
         "word_jaccard_pairs": f"""
             WITH docs2 AS (

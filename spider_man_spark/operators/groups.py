@@ -1,0 +1,185 @@
+"""Duplicate-group resolution: connected components + canonical pick.
+
+The near-dup operators (``operators/textdedup.py``,
+``operators/similarity.py``, ``operators/imagededup.py``) emit *pairs*
+``(id_a, id_b)``; an actual dedup pass needs *groups* — the transitive
+closure of the pair relation — and then one kept (canonical) document
+per group.  The reference stops at pair emission (its DuplicateFilter,
+``lib/spider_man/pipeline/duplicate_filter.ex``, is a seen-set, not a
+grouper), so this module is part of the training-data extension
+surface.
+
+:func:`connected_components` is the alternating large-star /
+small-star algorithm (Kiveris et al., *Connected Components in
+MapReduce and Beyond*, SoCC'14) expressed as DataFrame ops:
+
+* each round is two half-steps, each ONE ``groupBy(node).min`` plus an
+  equi-join back on the node id — map-side-combinable hash shuffles,
+  no windows, no ``collect_list`` (a hub node never materializes its
+  neighbor list in one row, so a 10^8-degree dup cluster can't OOM a
+  task);
+* converges in O(log n) rounds (not O(diameter) like naive label
+  propagation — a 10^6-long chain takes ~20 rounds, not 10^6);
+* the edge set is ``localCheckpoint``-ed every round so the plan stays
+  bounded instead of doubling (iterative lineage is the classic Spark
+  iterative-algorithm trap);
+* the only driver-side data is the per-round convergence fingerprint —
+  one ``(count, bit_xor(xxhash64))`` row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    """Symmetrize to ``(u, v)`` ∪ ``(v, u)``, self-loops dropped."""
+    fwd = edges.select("u", "v")
+    rev = edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    return fwd.unionByName(rev).filter(F.col("u") != F.col("v")).distinct()
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u with m = min(N(u) ∪ {u}): emit (v, m) for every
+    strictly-larger neighbor v.  Hooks big nodes to their component's
+    current minimum."""
+    sym = _sym(edges)
+    mins = sym.groupBy("u").agg(F.min("v").alias("__mv"))
+    m = F.least(F.col("u"), F.col("__mv"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient each edge large→small; for each node u with smaller
+    neighbors S and m = min(S): emit (v, m) for v ∈ S plus (u, m).
+    Flattens chains among the small ids."""
+    o = (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = o.groupBy("u").agg(F.min("v").alias("__mv"))
+    with_min = o.join(mins, "u")
+    to_children = with_min.select(
+        F.col("v").alias("u"), F.col("__mv").alias("v")
+    )
+    to_self = mins.select("u", F.col("__mv").alias("v"))
+    return (
+        to_children.unionByName(to_self)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    nodes: DataFrame | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """``(id, group_id)`` assignment where ``group_id`` is the minimum
+    id in each connected component of the undirected pair graph.
+
+    ``edges``: one row per pair (any orderable id type; duplicates and
+    self-pairs tolerated).  ``nodes``: optional one-column DataFrame of
+    ALL ids — ids with no pair come back as singleton groups
+    (``group_id = id``); without it only pair endpoints are returned.
+
+    Convergence is detected by the edge multiset's ``(count,
+    bit_xor(xxhash64(u, v)))`` fingerprint going stable across a
+    round — one tiny aggregate per round, no edge-set subtract.  At
+    the fixpoint every edge is ``(member, root)``, which IS the
+    assignment."""
+    e = (
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _fingerprint(df: DataFrame) -> tuple:
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("x"),
+        ).first()
+        return (row["n"], row["x"])
+
+    prev = _fingerprint(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+
+    members = e.select(F.col("u").alias("id"), F.col("v").alias("group_id"))
+    roots = e.select(
+        F.col("v").alias("id"), F.col("v").alias("group_id")
+    ).distinct()
+    assign = members.unionByName(roots)
+    if nodes is not None:
+        node_ids = nodes.select(F.col(nodes.columns[0]).alias("id"))
+        singletons = node_ids.join(assign, "id", "left_anti").select(
+            "id", F.col("id").alias("group_id")
+        )
+        assign = assign.unionByName(singletons)
+    return assign
+
+
+def dup_groups_from_pairs(
+    pairs: DataFrame,
+    id_a_col: str = "id_a",
+    id_b_col: str = "id_b",
+    nodes: DataFrame | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """:func:`connected_components` with the dedup operators' pair
+    column names as defaults."""
+    return connected_components(
+        pairs, a_col=id_a_col, b_col=id_b_col, nodes=nodes,
+        max_iter=max_iter,
+    )
+
+
+def keep_canonical(
+    df: DataFrame,
+    groups: DataFrame,
+    id_col: str = "doc_id",
+    prefer=None,
+) -> DataFrame:
+    """Keep ONE row per duplicate group: the row minimizing ``prefer``
+    (default: the id itself, i.e. min-id wins).  ``groups`` is a
+    ``(id, group_id)`` assignment as returned by
+    :func:`connected_components`; rows of ``df`` absent from it are
+    their own group (kept).  To prefer e.g. the longest document with
+    min-id tiebreak: ``prefer=F.struct((-F.col("n_chars")).alias("a"),
+    F.col("doc_id").alias("b"))``.
+
+    One groupBy(group_id).min_by shuffle + a semi-join back — group
+    size never concentrates in a task beyond the agg's hash partition,
+    and the winner set (one id per group) is the only joined side."""
+    if prefer is None:
+        prefer = F.col(id_col)
+    gid = F.coalesce(F.col("group_id"), F.col(id_col)).alias("__gid")
+    keyed = df.join(
+        groups.withColumnRenamed("id", id_col), id_col, "left"
+    ).select(df["*"], gid)
+    winners = keyed.groupBy("__gid").agg(
+        F.min_by(F.col(id_col), prefer).alias(id_col)
+    )
+    return df.join(winners.select(id_col), id_col, "left_semi")
