@@ -11,8 +11,10 @@ data):
 2. **Exact dedup** (`dedupe_exact`: one fingerprint hash-shuffle).
 3. **Near dedup** (`minhash_lsh_pairs`: shingle -> minhash -> banded
    LSH self-join -> exact-Jaccard verify; candidates come from bucket
-   equi-joins, never an all-pairs product) and keep each cluster's
-   min-id representative.
+   equi-joins, never an all-pairs product), fold the pairs into
+   transitive clusters (`dup_groups_from_pairs`: alternating
+   large-star/small-star connected components, O(log n) rounds), and
+   keep one canonical doc per cluster (`keep_canonical`).
 4. **Embed** the survivors (deterministic hash-derived vectors here;
    swap in a real encoder's output column at scale — the pipeline
    only assumes `array<float>`).
@@ -37,6 +39,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spider_man_spark.functions.text import with_text_features
+from spider_man_spark.operators.groups import (
+    dup_groups_from_pairs,
+    keep_canonical,
+)
 from spider_man_spark.operators.similarity import (
     ann_topk_ivf_partitioned,
     write_ivf_corpus,
@@ -112,13 +118,15 @@ def run(spark: SparkSession, workdir: str) -> dict:
     # 2. exact dedup: one hash shuffle on the fingerprint
     uniq = dedupe_exact(kept, id_col="doc_id", text_col="text").cache()
 
-    # 3. near dedup: LSH candidates + exact-Jaccard verify, then keep
-    # each pair's min-id side (id_a < id_b by construction)
+    # 3. near dedup: LSH candidates + exact-Jaccard verify, then fold
+    # pairs into TRANSITIVE clusters (a~b, b~c groups all three even
+    # when (a,c) never collided) and keep one canonical doc per
+    # cluster — min doc_id here; pass prefer= to keep e.g. the longest
     near = minhash_lsh_pairs(
         uniq, id_col="doc_id", text_col="text", threshold=0.8
     )
-    losers = near.select(F.col("id_b").alias("doc_id")).distinct()
-    training = uniq.join(losers, "doc_id", "left_anti").cache()
+    groups = dup_groups_from_pairs(near, nodes=uniq.select("doc_id"))
+    training = keep_canonical(uniq, groups, id_col="doc_id").cache()
 
     # 4-5. embed + IVF index-as-layout + pruned query
     corpus = embed(training).select("doc_id", "embedding")
