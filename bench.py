@@ -1115,6 +1115,41 @@ def ann_bench(cores: int, n_corpus: int = 1_000_000,
             ivf_exch_buck = _n_exchanges(buck_ivf)
             spark.sql("DROP TABLE IF EXISTS ann_bench_ivf_corpus")
             spark.sql("DROP TABLE IF EXISTS ann_bench_ivf_corpus_centroids")
+
+            # recall-vs-nprobe curve (round-7): the family's
+            # quality-cost trade, machine-readable like the LSH
+            # recall_at_10_subsample.  Ground truth is the FULL-probe
+            # batch run — exactly brute force by the partition
+            # invariant (cells partition the corpus), one job instead
+            # of a per-query brute loop.
+            sub_q4 = queries.filter(F.col("qid") < 64)
+            n_rq = sub_q4.count()
+            truth_sets: dict = {}
+            for r in ann_topk_ivf_batch(
+                sub_q4, idx_b, cents_b, k=10, nprobe=64
+            ).collect():
+                truth_sets.setdefault(r.qid, set()).add(r.vec_id)
+            recall_curve = []
+            for p in (2, 4, 8, 16):
+                t0 = time.monotonic()
+                got = ann_topk_ivf_batch(
+                    sub_q4, idx_b, cents_b, k=10, nprobe=p
+                ).collect()
+                w = time.monotonic() - t0
+                got_sets: dict = {}
+                for r in got:
+                    got_sets.setdefault(r.qid, set()).add(r.vec_id)
+                rec = sum(
+                    len(got_sets.get(qid, set()) & s) / len(s)
+                    for qid, s in truth_sets.items()
+                ) / max(len(truth_sets), 1)
+                recall_curve.append({
+                    "nprobe": p,
+                    "scan_fraction": round(p / 64, 4),
+                    "recall_at_10": round(rec, 4),
+                    "wall_sec": round(w, 2),
+                    "queries_per_sec": round(n_rq / w, 1),
+                })
             idx_b.unpersist()
 
             ivf = {
@@ -1136,6 +1171,7 @@ def ann_bench(cores: int, n_corpus: int = 1_000_000,
                 "batch_exchanges_bucketed": ivf_exch_buck,
                 "batch_corpus_exchange_elided": ivf_exch_buck < ivf_exch_plain,
                 "batch_rows_match": rows_p == rows_b,
+                "recall_curve": recall_curve,
             }
         finally:
             shutil.rmtree(idir, ignore_errors=True)
