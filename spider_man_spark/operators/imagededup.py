@@ -132,3 +132,58 @@ def brute_force_hamming_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def image_dedup_keep(
+    items: DataFrame,
+    *,
+    max_hamming: int = 3,
+    max_bucket: int = 100_000,
+    prefer=None,
+) -> DataFrame:
+    """One kept image per duplicate CLUSTER (exact ∪ perceptual,
+    transitively closed): the full dedup pass, returning the surviving
+    rows of ``items``.
+
+    Two-tier pair generation keeps the plan linear in copy counts:
+
+    1. byte-exact groups collapse first — each member pairs with its
+       group's min id (``c`` copies -> ``c-1`` pairs, never the
+       ``c(c-1)/2`` a bucket self-join would emit for a viral
+       exact-duplicate image);
+    2. :func:`phash_neardup_pairs` runs over one REPRESENTATIVE per
+       distinct byte content only (identical bytes have identical
+       phash, so the perceptual tier loses nothing and its bucket
+       join never sees exact-copy multiplicity).
+
+    The union of both pair sets is folded into components
+    (``operators/groups.py`` large-star/small-star, O(log n) rounds)
+    and :func:`~spider_man_spark.operators.groups.keep_canonical`
+    keeps the min ``image_id`` per cluster (or the ``prefer``
+    minimizer, e.g. highest resolution)."""
+    from spider_man_spark.operators.groups import (
+        connected_components,
+        keep_canonical,
+    )
+
+    keyed = items.select(
+        "image_id", F.xxhash64("bytes").alias("__ck")
+    )
+    reps = keyed.groupBy("__ck").agg(F.min("image_id").alias("__rep"))
+    with_rep = keyed.join(reps, "__ck")
+    exact_pairs = with_rep.filter(
+        F.col("image_id") != F.col("__rep")
+    ).select(F.col("__rep").alias("id_a"), F.col("image_id").alias("id_b"))
+    rep_items = items.join(
+        reps.select(F.col("__rep").alias("image_id")), "image_id", "left_semi"
+    )
+    near_pairs = phash_neardup_pairs(
+        rep_items, max_hamming=max_hamming, max_bucket=max_bucket
+    ).select("id_a", "id_b")
+    groups = connected_components(
+        exact_pairs.unionByName(near_pairs),
+        a_col="id_a",
+        b_col="id_b",
+        nodes=items.select("image_id"),
+    )
+    return keep_canonical(items, groups, id_col="image_id", prefer=prefer)

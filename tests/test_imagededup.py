@@ -141,3 +141,35 @@ def test_chunks_validation(spark):
         hamming_neardup_pairs(df, "image_id", "phash", max_hamming=3, chunks=3)
     with pytest.raises(ValueError):
         hamming_neardup_pairs(df, "image_id", "phash", max_hamming=8, chunks=8)
+
+
+def test_image_dedup_keep_matches_union_find_oracle(spark, image_table):
+    """image_dedup_keep == min-id per transitive cluster of the brute
+    Hamming<=3 relation (exact pairs are its hamming-0 subset, so the
+    two-tier pair generation must reproduce the one-tier closure)."""
+    from spider_man_spark.operators.imagededup import image_dedup_keep
+
+    ids = [r.image_id for r in image_table.select("image_id").collect()]
+    brute = brute_force_hamming_pairs(
+        image_table, "image_id", "phash", max_hamming=3
+    ).collect()
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in brute:
+        ra, rb = find(r.id_a), find(r.id_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = sorted({find(i) for i in ids})
+
+    kept = image_dedup_keep(image_table, max_hamming=3)
+    got = sorted(r.image_id for r in kept.select("image_id").collect())
+    assert got == want
+    # planted structure: slots 8 (exact) and 9 (near) fold into slot 0,
+    # so no kept id may be a planted-duplicate slot
+    assert all(int(i[3:]) % 10 not in (8, 9) for i in got)
