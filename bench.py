@@ -1282,7 +1282,10 @@ def image_bench(cores: int, n_images: int = IMAGE_BENCH_N) -> dict:
          invariant enforced at load, not just in tests);
       2. perceptual dedup — banded-Hamming phash near-dup pairs plus
          byte-exact duplicate groups (bucket equi-joins only, the
-         10^10-image shape).
+         10^10-image shape);
+      3. full dedup keep — the pair sets folded into transitive
+         clusters (connected components, O(log n) rounds) with one
+         kept image per cluster (``image_dedup_keep``).
 
     Reports imgs/s and decoded-MB/s for the scan and the dedup pair /
     group counts against the planted ground truth (1 exact + 1 near
@@ -1310,6 +1313,7 @@ def image_bench(cores: int, n_images: int = IMAGE_BENCH_N) -> dict:
     from spider_man_spark.functions.images import decode_items
     from spider_man_spark.operators.imagededup import (
         exact_dup_images,
+        image_dedup_keep,
         phash_neardup_pairs,
     )
     from spider_man_spark.session import get_spark
@@ -1359,6 +1363,18 @@ def image_bench(cores: int, n_images: int = IMAGE_BENCH_N) -> dict:
         ex_df = exact_dup_images(table)
         exact_groups = ex_df.count()
         dedup_wall = time.monotonic() - t0
+
+        # full dedup pass: pairs -> transitive clusters (large-star/
+        # small-star connected components) -> one kept image each.
+        # kept_images is deterministic (synthetic table + deterministic
+        # closure), so it's another structural field: it must be
+        # byte-identical across rounds and parallelism levels whatever
+        # the wall-clock does, and <= 0.8*n by the planted structure
+        # (slots 8/9 of every 10 fold into slot 0; cross-group phash
+        # collisions can only fold more).
+        t0 = time.monotonic()
+        kept = image_dedup_keep(table, max_hamming=3).count()
+        keep_wall = time.monotonic() - t0
         cal1 = _quick_cal()
 
         # untimed plan capture: execute each dedup frame once more so
@@ -1390,6 +1406,9 @@ def image_bench(cores: int, n_images: int = IMAGE_BENCH_N) -> dict:
             "neardup_pairs": neardup,
             "exact_dup_groups": exact_groups,
             "dedup_wall_sec": round(dedup_wall, 3),
+            "kept_images": kept,
+            "kept_fraction": round(kept / max(scan.n, 1), 4),
+            "keep_wall_sec": round(keep_wall, 3),
             "cal_hash_per_s_before": cal0,
             "cal_hash_per_s_after": cal1,
             "images_per_khash": round(
@@ -1632,7 +1651,7 @@ def main() -> None:
         compact["image"] = {
             k: im[k]
             for k in ("n_images", "images_per_sec", "decoded_mb_per_sec",
-                      "neardup_pairs", "exact_dup_groups",
+                      "neardup_pairs", "exact_dup_groups", "kept_images",
                       "images_per_khash", "dedup_plan_bucket_join_only")
             if k in im
         }

@@ -585,6 +585,16 @@ class CrawlJob:
 
         return phash_neardup_pairs(self.items(), max_hamming=max_hamming)
 
+    def image_dedup_keep(self, max_hamming: int = 3, prefer=None) -> DataFrame:
+        """One kept item per duplicate image cluster (byte-exact ∪
+        perceptual, transitively closed via connected components) —
+        the full crawl -> deduplicated-training-set pass."""
+        from spider_man_spark.operators.imagededup import image_dedup_keep
+
+        return image_dedup_keep(
+            self.items(), max_hamming=max_hamming, prefer=prefer
+        )
+
     def page_features(self) -> DataFrame:
         from spider_man_spark.schemas import PAGE_FEATURES_SCHEMA
 

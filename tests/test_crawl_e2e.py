@@ -117,6 +117,12 @@ def test_bfs_reaches_graph_and_items_match_corpus(spark, tmp_path, corpus):
         )
         assert psnr(orig, px) >= 40.0
         assert (it.h, it.w) == orig.shape[:2]
+    # crawl -> deduplicated-training-set bridge: the 6 crawled images
+    # are all distinct content, so the full dedup pass keeps them all
+    kept = job.image_dedup_keep().select("image_id").collect()
+    assert sorted(r.image_id for r in kept) == sorted(
+        it.image_id for it in items
+    )
 
 
 def test_retry_and_dead_letter(spark, tmp_path):
