@@ -1373,7 +1373,10 @@ def image_bench(cores: int, n_images: int = IMAGE_BENCH_N) -> dict:
         # (slots 8/9 of every 10 fold into slot 0; cross-group phash
         # collisions can only fold more).
         t0 = time.monotonic()
-        kept = image_dedup_keep(table, max_hamming=3).count()
+        cc_stats: dict = {}
+        kept = image_dedup_keep(
+            table, max_hamming=3, cc_stats=cc_stats
+        ).count()
         keep_wall = time.monotonic() - t0
         cal1 = _quick_cal()
 
@@ -1409,6 +1412,8 @@ def image_bench(cores: int, n_images: int = IMAGE_BENCH_N) -> dict:
             "kept_images": kept,
             "kept_fraction": round(kept / max(scan.n, 1), 4),
             "keep_wall_sec": round(keep_wall, 3),
+            "keep_cc_rounds": cc_stats.get("rounds"),
+            "keep_cc_star_edges": cc_stats.get("edges"),
             "cal_hash_per_s_before": cal0,
             "cal_hash_per_s_after": cal1,
             "images_per_khash": round(

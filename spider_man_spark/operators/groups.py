@@ -86,9 +86,13 @@ def connected_components(
     b_col: str = "b",
     nodes: DataFrame | None = None,
     max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """``(id, group_id)`` assignment where ``group_id`` is the minimum
     id in each connected component of the undirected pair graph.
+    Pass a dict as ``stats`` to receive ``{"rounds", "edges"}`` back
+    (rounds actually run and the converged star-edge count — the
+    O(log n) evidence).
 
     ``edges``: one row per pair (any orderable id type; duplicates and
     self-pairs tolerated).  ``nodes``: optional one-column DataFrame of
@@ -116,7 +120,7 @@ def connected_components(
         return (row["n"], row["x"])
 
     prev = _fingerprint(e)
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         cur = _fingerprint(e)
         if cur == prev:
@@ -126,6 +130,9 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["edges"] = prev[0]
 
     members = e.select(F.col("u").alias("id"), F.col("v").alias("group_id"))
     roots = e.select(

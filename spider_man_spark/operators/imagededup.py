@@ -140,6 +140,7 @@ def image_dedup_keep(
     max_hamming: int = 3,
     max_bucket: int = 100_000,
     prefer=None,
+    cc_stats: dict | None = None,
 ) -> DataFrame:
     """One kept image per duplicate CLUSTER (exact ∪ perceptual,
     transitively closed): the full dedup pass, returning the surviving
@@ -185,5 +186,6 @@ def image_dedup_keep(
         a_col="id_a",
         b_col="id_b",
         nodes=items.select("image_id"),
+        stats=cc_stats,
     )
     return keep_canonical(items, groups, id_col="image_id", prefer=prefer)
