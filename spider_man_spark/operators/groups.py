@@ -182,10 +182,13 @@ def keep_canonical(
     and the winner set (one id per group) is the only joined side."""
     if prefer is None:
         prefer = F.col(id_col)
-    gid = F.coalesce(F.col("group_id"), F.col(id_col)).alias("__gid")
-    keyed = df.join(
-        groups.withColumnRenamed("id", id_col), id_col, "left"
-    ).select(df["*"], gid)
+    # rename the assignment columns before joining so a df that
+    # already carries an "id"/"group_id" column can't collide
+    g = groups.select(
+        F.col("id").alias(id_col), F.col("group_id").alias("__asn_gid")
+    )
+    gid = F.coalesce(F.col("__asn_gid"), F.col(id_col)).alias("__gid")
+    keyed = df.join(g, id_col, "left").select(df["*"], gid)
     winners = keyed.groupBy("__gid").agg(
         F.min_by(F.col(id_col), prefer).alias(id_col)
     )

@@ -196,3 +196,38 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def dedupe_near(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    prefer=None,
+    cc_stats: dict | None = None,
+) -> DataFrame:
+    """The full near-dedup pass: :func:`minhash_lsh_pairs` ->
+    transitive clusters (large-star/small-star connected components,
+    ``operators/groups.py``) -> one kept row per cluster (min id, or
+    the ``prefer`` minimizer — e.g. longest doc).  The text-side twin
+    of ``operators/imagededup.image_dedup_keep``; run
+    :func:`dedupe_exact` first so exact-copy multiplicity never
+    reaches the LSH bucket join."""
+    from spider_man_spark.operators.groups import (
+        connected_components,
+        keep_canonical,
+    )
+
+    pairs = minhash_lsh_pairs(
+        df, id_col=id_col, text_col=text_col, threshold=threshold,
+        shingle_k=shingle_k, num_perm=num_perm, bands=bands,
+    )
+    groups = connected_components(
+        pairs, a_col="id_a", b_col="id_b",
+        nodes=df.select(id_col), stats=cc_stats,
+    )
+    return keep_canonical(df, groups, id_col=id_col, prefer=prefer)

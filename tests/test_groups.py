@@ -123,3 +123,25 @@ def test_cc_hub_component_single_round(spark):
     got = connected_components(edges)
     assert got.filter(F.col("group_id") != 0).count() == 0
     assert got.count() == 500
+
+
+def test_dedupe_near_transitive_chain(spark):
+    """dedupe_near folds a revision chain a~b~c into ONE kept doc even
+    when (a, c) alone falls below the pair threshold — the grouping is
+    the transitive closure, not pair-local."""
+    from spider_man_spark.operators.textdedup import dedupe_near
+
+    base = [f"w{i}" for i in range(100)]
+    rev1 = list(base); rev1[10] = "xchanged"
+    rev2 = list(rev1); rev2[50] = "ychanged"
+    rows = [
+        (1, " ".join(base)),
+        (2, " ".join(rev1)),
+        (3, " ".join(rev2)),
+        (4, " ".join(f"q{i}" for i in range(100))),  # unrelated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    stats: dict = {}
+    kept = dedupe_near(docs, threshold=0.85, cc_stats=stats)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 4]
+    assert stats["rounds"] >= 1 and stats["edges"] == 2
