@@ -476,7 +476,13 @@ def scaling_bench(budget_s: float = 1500.0) -> dict:
         )
         pairs = []
         runs = []
-        for _round in range(2):
+        # pair count: default 2 (the driver-window protocol of rounds
+        # 3-6); SPARK_GRAFT_SCALING_MAX_PAIRS raises it for dedicated
+        # long sessions — more adjacent pairs = more chances to catch
+        # a drift-free window, and best-healthy-pair selection below
+        # generalizes unchanged
+        max_pairs = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_PAIRS", "2"))
+        for _round in range(max_pairs):
             # per-leg drift stamp: single-core sha256 rate measured
             # immediately before the leg launches
             c0 = _quick_cal()
