@@ -167,8 +167,19 @@ def image_dedup_keep(
         keep_canonical,
     )
 
+    # (hash, length) composite content key (round-7 advice): a bare
+    # 64-bit xxhash64 has birthday collisions in the millions at the
+    # 10^10-image design point, and a collision HERE feeds
+    # keep_canonical — it would silently delete a distinct image.
+    # The length component makes an undetected collision require both
+    # an equal hash and an equal byte length (~2^-80-ish combined),
+    # at zero extra shuffle width (two longs vs one).
     keyed = items.select(
-        "image_id", F.xxhash64("bytes").alias("__ck")
+        "image_id",
+        F.struct(
+            F.xxhash64("bytes").alias("h"),
+            F.length("bytes").alias("n"),
+        ).alias("__ck"),
     )
     reps = keyed.groupBy("__ck").agg(F.min("image_id").alias("__rep"))
     with_rep = keyed.join(reps, "__ck")

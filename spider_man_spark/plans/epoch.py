@@ -199,6 +199,11 @@ def run_epoch(
     res = EpochResult(epoch=epoch)
     t_all = time.monotonic()
 
+    def _label(phase: str) -> None:
+        # guide §1.5: label jobs so profiles/the UI attribute wall time
+        # to epoch phases — a thread-local property set, no job cost
+        spark.sparkContext.setJobDescription(f"epoch {epoch}: {phase}")
+
     frontier = store.read_snapshot("frontier", prev, FRONTIER_SCHEMA)
     seen = store.read_deltas("seen", prev, SEEN_SCHEMA)
     robots = store.read_snapshot("robots", prev)
@@ -209,6 +214,7 @@ def run_epoch(
 
     # ---- downloader stage: schedule + fetch ----
     t0 = time.monotonic()
+    _label("downloader")
     disallowed = None
     # robots carried disallow rules as of the last commit (observed on
     # the robots write, so a clean crawl pays zero per-epoch cost here)
@@ -378,6 +384,7 @@ def run_epoch(
 
     # ---- spider stage: parse (with pending from suspended epochs) ----
     t0 = time.monotonic()
+    _label("spider")
     pending_fetched = store.read_snapshot("pending_fetched", prev)
     parse_input = None
     if ok_now is not None:
@@ -553,6 +560,7 @@ def run_epoch(
     # keeps output file counts sane.  (frontier_mode/prev_size were
     # resolved before scheduling — see _resolve_frontier_mode.)
     res.frontier_mode_used = frontier_mode
+    _label("frontier-commit")
     if frontier_mode == "mor":
         # merge-on-read commit (what "auto" picks in the
         # large-frontier / low-churn regime): persist ONLY the churn —
@@ -716,6 +724,7 @@ def run_epoch(
     pending_items_out = None  # None = leave the pending snapshot alone
     if items_all is not None and write_items:
         t1 = time.monotonic()
+        _label("item-processor")
         items_all = items_all.persist(StorageLevel.MEMORY_AND_DISK)
         ok_items = items_all
         results = None
@@ -899,9 +908,15 @@ def run_epoch(
         # exactly-once fetch_events: stage now, publish after the
         # epoch's manifest commit (CrawlJob does the rename) — see
         # StateStore.write_staged
+        base = store.write
         if kind == "fetch_events" and cfg.fetch_events_exactly_once:
-            return store.write_staged
-        return store.write
+            base = store.write_staged
+
+        def _labeled(kind, df, ep, _base=base):
+            _label(f"write {kind}")
+            return _base(kind, df, ep)
+
+        return _labeled
 
     if len(all_writes) == 1:
         _writer(all_writes[0][0])(all_writes[0][0], all_writes[0][1], epoch)
