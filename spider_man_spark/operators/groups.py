@@ -190,19 +190,27 @@ def keep_canonical(
     min-id tiebreak: ``prefer=F.struct((-F.col("n_chars")).alias("a"),
     F.col("doc_id").alias("b"))``.
 
-    One groupBy(group_id).min_by shuffle + a semi-join back — group
-    size never concentrates in a task beyond the agg's hash partition,
-    and the winner set (one id per group) is the only joined side."""
+    The winner derivation runs entirely on (id, prefer) PROXY rows —
+    the guide-§8 discipline: full ``df`` rows (which may carry KB-MB
+    payload columns like image bytes) cross exactly ONE exchange, the
+    final semi-join.  The previous shape joined and aggregated the
+    full rows, shuffling every payload three times."""
     if prefer is None:
         prefer = F.col(id_col)
+    # evaluate ``prefer`` on df FIRST (it may reference any df
+    # column), then drop to (id, __pref) proxy rows for everything
+    # except the final semi-join
+    proxy = df.select(F.col(id_col), prefer.alias("__pref"))
     # rename the assignment columns before joining so a df that
     # already carries an "id"/"group_id" column can't collide
     g = groups.select(
         F.col("id").alias(id_col), F.col("group_id").alias("__asn_gid")
     )
     gid = F.coalesce(F.col("__asn_gid"), F.col(id_col)).alias("__gid")
-    keyed = df.join(g, id_col, "left").select(df["*"], gid)
+    keyed = proxy.join(g, id_col, "left").select(
+        F.col(id_col), F.col("__pref"), gid
+    )
     winners = keyed.groupBy("__gid").agg(
-        F.min_by(F.col(id_col), prefer).alias(id_col)
+        F.min_by(F.col(id_col), F.col("__pref")).alias(id_col)
     )
     return df.join(winners.select(id_col), id_col, "left_semi")

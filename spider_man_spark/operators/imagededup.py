@@ -67,10 +67,19 @@ def hamming_neardup_pairs(
     banded = sk.select(
         "id", "sk", F.posexplode(simhash_chunks(F.col("sk"), chunks)).alias("ci", "chunk")
     )
+    # guard degenerate buckets by ANTI-joining the OVERSIZED bucket
+    # list (usually empty, bounded by N/max_bucket at any scale — the
+    # broadcastable side by construction) instead of inner-joining the
+    # small-bucket whitelist: one broadcast anti-join replaces a
+    # full-width sort-merge join of the banded rows (−1 exchange, −2
+    # sorts; results identical — every banded bucket appears in sizes)
     sizes = banded.groupBy("ci", "chunk").agg(F.count("*").alias("__n"))
     banded = banded.join(
-        sizes.filter(F.col("__n") <= max_bucket).select("ci", "chunk"),
+        F.broadcast(
+            sizes.filter(F.col("__n") > max_bucket).select("ci", "chunk")
+        ),
         ["ci", "chunk"],
+        "left_anti",
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -186,7 +195,10 @@ def image_dedup_keep(
     exact_pairs = with_rep.filter(
         F.col("image_id") != F.col("__rep")
     ).select(F.col("__rep").alias("id_a"), F.col("image_id").alias("id_b"))
-    rep_items = items.join(
+    # the perceptual tier needs only (image_id, phash) — project BEFORE
+    # the representative semi-join so the image BYTES never enter this
+    # branch's exchanges (guide §2.3/§8: shuffle proxies, not payloads)
+    rep_items = items.select("image_id", "phash").join(
         reps.select(F.col("__rep").alias("image_id")), "image_id", "left_semi"
     )
     near_pairs = phash_neardup_pairs(

@@ -175,7 +175,7 @@ def ann_topk_lsh_partitioned(
     buckets = [
         qbucket ^ m for m in _probe_masks(len(planes), probe_hamming)
     ]
-    df = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
+    df = _read_partition_subset(spark, path, "bucket", buckets)
     return (
         df.select(
             F.col(id_col),
@@ -184,6 +184,35 @@ def ann_topk_lsh_partitioned(
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def _read_partition_subset(
+    spark, path: str, part_col: str, values: list[int]
+):
+    """Read only the ``part_col=v`` subdirectories of a
+    partitionBy-written table.  Equivalent to
+    ``spark.read.parquet(path).filter(col(part_col).isin(values))`` —
+    partition pruning discards the same files — but the driver lists
+    O(probe-set) directories instead of the WHOLE table (1024 bucket
+    dirs at the bench shape), which dominated per-query latency.
+    Falls back to the full-listing filter form when the path is not a
+    visible local directory (e.g. an object-store URI)."""
+    import os
+
+    if not os.path.isdir(path):
+        return spark.read.parquet(path).filter(
+            F.col(part_col).isin(list(values))
+        )
+    subs = [
+        os.path.join(path, f"{part_col}={v}")
+        for v in values
+        if os.path.isdir(os.path.join(path, f"{part_col}={v}"))
+    ]
+    if not subs:
+        # no probed partition exists: preserve the empty-result (and
+        # schema) semantics of the pruned full read
+        return spark.read.parquet(path).filter(F.lit(False))
+    return spark.read.option("basePath", path).parquet(*subs)
 
 
 def cosine_sim_cols(a: Column, b: Column) -> Column:
@@ -199,6 +228,22 @@ def cosine_sim_cols(a: Column, b: Column) -> Column:
         lambda acc, x: acc + x,
     )
     return F.round(dot / (vec_norm(a) * vec_norm(b)), 6)
+
+
+def _cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine with PRE-COMPUTED side norms: same expressions, same
+    order (dot / (norm_a * norm_b), rounded 6) as
+    :func:`cosine_sim_cols`, so values are bit-identical — but the
+    norms cross the candidate join as one double per side instead of
+    being recomputed per pair."""
+    a = a.cast("array<double>")
+    b = b.cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(dot / (na * nb), 6)
 
 
 def _probe_masks(n_planes: int, probe_hamming: int) -> list[int]:
@@ -243,9 +288,15 @@ def ann_topk_lsh_batch(
             dim = len(queries.select(vec_col).first()[0])
         planes = random_planes(dim)
     masks = _probe_masks(len(planes), probe_hamming)
+    # per-SIDE norms are computed once per row BEFORE the join and
+    # carried as one extra double — the per-candidate-pair work is
+    # then a single dot instead of dot + two norms (the norms are the
+    # same expressions, so every cosine is bit-identical; guide §2.3:
+    # move per-pair work to per-row where the algebra allows)
     qb = queries.select(
         F.col(q_id_col).alias("qid"),
         F.col(vec_col).alias("qv"),
+        vec_norm(F.col(vec_col).cast("array<double>")).alias("__qn"),
         rp_lsh_bucket(F.col(vec_col), planes).alias("__qbucket"),
     ).withColumn(
         # generators must be top-level in a projection: explode the
@@ -258,6 +309,7 @@ def ann_topk_lsh_batch(
     cb = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cv"),
+        vec_norm(F.col(vec_col).cast("array<double>")).alias("__cn"),
         rp_lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
     )
     from pyspark.sql import Window
@@ -270,7 +322,9 @@ def ann_topk_lsh_batch(
         .select(
             "qid",
             "vec_id",
-            cosine_sim_cols(F.col("qv"), F.col("cv")).alias("cosine"),
+            _cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("__qn"), F.col("__cn")
+            ).alias("cosine"),
         )
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
@@ -350,6 +404,7 @@ def ann_topk_lsh_batch_bucketed(
     qb = queries.select(
         F.col(q_id_col).alias("qid"),
         F.col(vec_col).alias("qv"),
+        vec_norm(F.col(vec_col).cast("array<double>")).alias("__qn"),
         rp_lsh_bucket(F.col(vec_col), planes).alias("__qbucket"),
     ).withColumn(
         "__mask",
@@ -362,6 +417,9 @@ def ann_topk_lsh_batch_bucketed(
     cb = spark.table(table).select(
         F.col(id_col).alias("vec_id"),
         F.col(corpus_vec_col or vec_col).alias("cv"),
+        vec_norm(
+            F.col(corpus_vec_col or vec_col).cast("array<double>")
+        ).alias("__cn"),
         "bucket",
     )
     from pyspark.sql import Window
@@ -374,7 +432,9 @@ def ann_topk_lsh_batch_bucketed(
         .select(
             "qid",
             "vec_id",
-            cosine_sim_cols(F.col("qv"), F.col("cv")).alias("cosine"),
+            _cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("__qn"), F.col("__cn")
+            ).alias("cosine"),
         )
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
@@ -400,6 +460,9 @@ def embedding_dup_pairs(
     keyed = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        # per-row norm, carried through the bucket join — the per-pair
+        # work is then one dot (same exprs, bit-identical cosines)
+        vec_norm(F.col(vec_col)).alias("__n"),
         rp_lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     a, b = keyed.alias("a"), keyed.alias("b")
@@ -408,7 +471,7 @@ def embedding_dup_pairs(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = F.round(dot / (vec_norm(F.col("a.v")) * vec_norm(F.col("b.v"))), 6)
+    cos = F.round(dot / (F.col("a.__n") * F.col("b.__n")), 6)
     return (
         a.join(b, "bucket")
         .filter(F.col("a.id") < F.col("b.id"))
@@ -572,7 +635,7 @@ def ann_topk_ivf_partitioned(
     cn[cn == 0] = 1.0
     sims = centroids @ q / (cn * qn)
     probe = [int(i) for i in np.argsort(-sims)[:nprobe]]
-    df = spark.read.parquet(path).filter(F.col("centroid_id").isin(probe))
+    df = _read_partition_subset(spark, path, "centroid_id", probe)
     return (
         df.select(
             F.col(id_col),
@@ -657,12 +720,19 @@ def _ivf_probe_cells(
         F.col("__csim").desc(), F.col("centroid_id").asc()
     )
     return (
-        queries.select(F.col(q_id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        queries.select(
+            F.col(q_id_col).alias("qid"),
+            F.col(vec_col).alias("qv"),
+            # query norm computed ONCE per query here and carried to
+            # the candidate join — _batch_topk then skips the per-pair
+            # norm recompute (same expression, bit-identical values)
+            vec_norm(F.col(vec_col).cast("array<double>")).alias("__qn"),
+        )
         .crossJoin(cent)
         .withColumn("__csim", csim)
         .withColumn("__crk", F.row_number().over(wq))
         .filter(F.col("__crk") <= nprobe)
-        .select("qid", "qv", "centroid_id")
+        .select("qid", "qv", "__qn", "centroid_id")
     )
 
 
@@ -670,19 +740,24 @@ def _batch_topk(cand: DataFrame, k: int) -> DataFrame:
     """Exact cosine + per-query window top-k over (qid, qv, vec_id,
     cv) candidate rows.  The query norm is zero-guarded exactly like
     :func:`cosine_sim_lit`'s driver-side ``or 1.0`` so the batch and
-    per-query paths agree on degenerate query vectors."""
+    per-query paths agree on degenerate query vectors.  When the
+    caller carried per-side norms (``__qn``/``__cn`` — the same
+    expressions, evaluated once per row before the join), they are
+    used instead of per-pair recomputes; the cosines are
+    bit-identical either way."""
     from pyspark.sql import Window
 
     a = F.col("qv").cast("array<double>")
     b = F.col("cv").cast("array<double>")
-    qn = vec_norm(a)
+    qn = F.col("__qn") if "__qn" in cand.columns else vec_norm(a)
+    cn = F.col("__cn") if "__cn" in cand.columns else vec_norm(b)
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     cos = F.round(
-        dot / (F.when(qn == 0, F.lit(1.0)).otherwise(qn) * vec_norm(b)), 6
+        dot / (F.when(qn == 0, F.lit(1.0)).otherwise(qn) * cn), 6
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
@@ -727,6 +802,7 @@ def ann_topk_ivf_batch(
         indexed.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("cv"),
+            vec_norm(F.col(vec_col).cast("array<double>")).alias("__cn"),
             "centroid_id",
         ),
         "centroid_id",
@@ -814,6 +890,9 @@ def ann_topk_ivf_batch_bucketed(
     cb = spark.table(table).select(
         F.col(id_col).alias("vec_id"),
         F.col(corpus_vec_col or vec_col).alias("cv"),
+        vec_norm(
+            F.col(corpus_vec_col or vec_col).cast("array<double>")
+        ).alias("__cn"),
         "centroid_id",
     )
     return _batch_topk(probes.join(cb, "centroid_id"), k)

@@ -95,11 +95,18 @@ def minhash_lsh_pairs(
             "band", "bh"
         ),
     )
-    # guard degenerate buckets before the self-join
+    # guard degenerate buckets before the self-join: anti-join the
+    # OVERSIZED bucket list (bounded by N/max_bucket rows at any scale
+    # — broadcastable by construction) rather than inner-joining the
+    # whitelist; one broadcast anti-join replaces a full-width
+    # sort-merge join of the banded rows, results identical
     sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("__n"))
     banded = banded.join(
-        sizes.filter(F.col("__n") <= max_bucket).select("band", "bh"),
+        F.broadcast(
+            sizes.filter(F.col("__n") > max_bucket).select("band", "bh")
+        ),
         ["band", "bh"],
+        "left_anti",
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -137,10 +144,15 @@ def simhash_pairs(
     banded = sk.select(
         "id", "sim", F.posexplode(simhash_chunks(F.col("sim"), chunks)).alias("ci", "chunk")
     )
+    # same oversized-bucket broadcast anti-join guard as
+    # minhash_lsh_pairs (see comment there)
     sizes = banded.groupBy("ci", "chunk").agg(F.count("*").alias("__n"))
     banded = banded.join(
-        sizes.filter(F.col("__n") <= max_bucket).select("ci", "chunk"),
+        F.broadcast(
+            sizes.filter(F.col("__n") > max_bucket).select("ci", "chunk")
+        ),
         ["ci", "chunk"],
+        "left_anti",
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (
