@@ -125,9 +125,15 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
+    # explicit broadcasts (guide §3.1): orders and customer are the
+    # 1/4x and 1/40x dimension sides of lineitem at every TPC-H-ish
+    # SF; the engine session disables implicit broadcasts (crawl
+    # posture), so without hints this planned as two full sort-merge
+    # joins shuffling lineitem.  Same rows either way — join strategy
+    # does not change results.
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "c_mktsegment")
         .agg(
             F.round(

@@ -292,6 +292,7 @@ def schedule_epoch(
     max_per_epoch: int = 0,
     caches: list[DataFrame] | None = None,
     need_losers: bool = True,
+    tokens_cap: int | None = None,
 ) -> tuple[DataFrame, DataFrame | None, DataFrame]:
     """(scheduled, deferred, disallowed) for one epoch.
 
@@ -318,14 +319,21 @@ def schedule_epoch(
     ]
     enriched = join_robots(frontier, robots)
     eligible, delayed, disallowed = robots_filter(enriched, epoch_ts)
-    tokens_cap = None
-    if not need_losers:
+    if need_losers:
+        tokens_cap = None
+    elif tokens_cap is None:
+        # caller didn't carry a cap (first epoch / legacy checkpoint):
+        # one tiny agg job derives it; steady-state callers pass the
+        # cap observed on the PREVIOUS robots write (run_epoch rides it
+        # through the manifest), saving this per-epoch job
         cap = tokens_default
         if robots is not None:
             row = robots.agg(F.max("tokens_per_epoch").alias("m")).first()
             if row is not None and row.m is not None:
                 cap = max(cap, int(row.m))
         tokens_cap = cap
+    else:
+        tokens_cap = max(int(tokens_cap), tokens_default)
     picked, losers = rank_split_per_host(
         eligible, tokens_default, rank_salts, caches=caches,
         need_losers=need_losers, tokens_cap=tokens_cap,

@@ -70,6 +70,10 @@ class EpochResult:
     # commit layout the frontier write actually used ("full" | "mor" |
     # "sharded") — cfg "auto" resolves per epoch before the write
     frontier_mode_used: str = "full"
+    # max(tokens_per_epoch) observed on this epoch's robots write —
+    # rides the manifest so the next epoch's scheduler gets its
+    # WindowGroupLimit cap without a standalone agg job
+    robots_tokens_cap: int | None = None
     # enter+leave row churn of this epoch's frontier commit: exact in
     # MOR mode (delta meta), scheduled+admitted estimate otherwise.
     # Persisted in the manifest so the auto policy's churn gate
@@ -218,7 +222,17 @@ def run_epoch(
     disallowed = None
     # robots carried disallow rules as of the last commit (observed on
     # the robots write, so a clean crawl pays zero per-epoch cost here)
-    has_disallow = bool(store.manifest().get("has_disallow", True))
+    _man = store.manifest()
+    has_disallow = bool(_man.get("has_disallow", True))
+    # scheduler token cap carried from the previous robots-write
+    # observation (valid only if that manifest entry is this crawl's
+    # previous epoch)
+    man_tokens_cap = (
+        int(_man["robots_tokens_cap"])
+        if int(_man.get("epoch", -1)) == prev
+        and _man.get("robots_tokens_cap")
+        else None
+    )
     sched_caches: list[DataFrame] = []
     # commit mode resolved BEFORE scheduling: the MOR regime never
     # consumes the rank-losers/deferred branch (un-scheduled rows stay
@@ -258,9 +272,21 @@ def run_epoch(
             # the bench shapes)
             caches=sched_caches,
             need_losers=need_losers,
+            tokens_cap=man_tokens_cap,
         )
         if not has_disallow:
             disallowed = None
+        elif disallowed is not None:
+            # the disallowed branch has up to three consumers per epoch
+            # (dead-letter write, MOR leave tombstones, count
+            # observation) and each would otherwise re-run its lineage
+            # — a FULL frontier scan + robots join + disallow regex
+            # (profiled: the 'write failed' job alone paid ~1.1 s per
+            # epoch re-deriving it).  The result is tiny (usually zero
+            # rows), so persist it and let every consumer read the
+            # cache.
+            disallowed = disallowed.persist(StorageLevel.MEMORY_AND_DISK)
+            sched_caches.append(disallowed)
     if cfg.cookies:
         scheduled = inject_cookie_header(scheduled, session)
     if cfg.user_agents:
@@ -447,6 +473,20 @@ def run_epoch(
                 )
 
     # ---- admit new requests: canonicalize + dedup vs seen ----
+    # Pre-collapse candidates on the RAW url before canonicalize: link
+    # extraction emits the same target many times (the bench graph
+    # averages ~7-9 occurrences per distinct url, real link graphs are
+    # worse), and canonicalize is the admit path's dominant per-row
+    # compute (~9 regex evals + 2 hashes per row — measured 14 s per
+    # 5.6M rows at 32 threads).  Grouping by the raw string first runs
+    # that pipeline once per DISTINCT url and shrinks the downstream
+    # url_key dedup exchange by the same factor.  Winner-equivalent:
+    # every raw url maps to exactly one url_key, so the per-key min
+    # over stage-1 winners is the per-key min over all rows (the
+    # ordering struct (priority, depth, url, retries) is constant
+    # across copies of one raw url in its url components).
+    if new_requests is not None:
+        new_requests = intra_epoch_dedup(new_requests)
     if new_requests is not None and cfg.dedup:
         cand = canonicalize_frontier(
             new_requests, cfg.base_url, cfg.n_host_shards
@@ -854,22 +894,27 @@ def run_epoch(
             dead_parts.append(
                 item_dead.select(*[f.name for f in FAILED_SCHEMA.fields])
             )
-    obs_dis = None
     if disallowed is not None:
         # permanently-disallowed rows leave the frontier as dead
-        # letters (reason 'disallowed') so run_until_zero can drain
-        disallowed_dead = disallowed.select(
-            F.lit("downloader").alias("component"),
-            "url_key", "url",
-            F.lit(None).cast("string").alias("payload"),
-            F.lit("disallowed").alias("reason"),
-            "retries", "depth", "priority", "flag", "options",
-            F.lit(epoch).cast("int").alias("epoch"),
-        )
-        obs_dis = Observation()
-        dead_parts.append(
-            disallowed_dead.observe(obs_dis, F.count(F.lit(1)).alias("n"))
-        )
+        # letters (reason 'disallowed') so run_until_zero can drain.
+        # disallowed is persisted (see the schedule step), so this
+        # count reads the cache; on the common clean-epoch case
+        # (0 rows) the branch contributes nothing and — when no other
+        # component died either — the whole failed write is skipped
+        # (a missing delta dir reads as an empty delta).
+        n_dis = disallowed.count()
+        if n_dis:
+            res.dead += n_dis
+            dead_parts.append(
+                disallowed.select(
+                    F.lit("downloader").alias("component"),
+                    "url_key", "url",
+                    F.lit(None).cast("string").alias("payload"),
+                    F.lit("disallowed").alias("reason"),
+                    "retries", "depth", "priority", "flag", "options",
+                    F.lit(epoch).cast("int").alias("epoch"),
+                )
+            )
     if dead_parts:
         all_dead = dead_parts[0]
         for p in dead_parts[1:]:
@@ -899,6 +944,10 @@ def run_epoch(
         F.count(
             F.when(F.size(F.coalesce("disallow_prefixes", F.array())) > 0, 1)
         ).alias("n"),
+        # max per-host token budget of the NEXT epoch's robots table —
+        # persisted in the manifest so the next epoch's
+        # WindowGroupLimit literal cap needs no standalone agg job
+        F.max("tokens_per_epoch").alias("cap"),
     )
     small_writes.append(("robots", robots_next))
 
@@ -932,8 +981,7 @@ def run_epoch(
                 f.result()  # surface the first failure
 
     res.has_disallow = _obs_get(obs_rob, lambda: 1) > 0
-    if obs_dis is not None:
-        res.dead += _obs_get(obs_dis, lambda: disallowed.count())
+    res.robots_tokens_cap = _obs_get(obs_rob, lambda: 0, "cap") or None
     if obs_seen is not None:
         res.new_requests = _obs_get(obs_seen, lambda: admitted.count())
     if obs_items is not None:

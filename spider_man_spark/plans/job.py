@@ -372,6 +372,7 @@ class CrawlJob:
             epoch=epoch,
             job_name=self.cfg.job_name,
             has_disallow=res.has_disallow,
+            robots_tokens_cap=res.robots_tokens_cap,
             # O(1) size chain for the auto/mor frontier policy — saves
             # the bootstrap count after full-rewrite epochs
             frontier_size=res.frontier_size,
