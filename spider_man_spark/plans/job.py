@@ -262,19 +262,38 @@ class CrawlJob:
         # (_reconcile_pending) instead of silently skewing the O(1)
         # size chain or leaving admitted rows without seen rows
         self.store.commit(pending_op="insert_requests")
-        frontier = self.store.read_snapshot("frontier", epoch, FRONTIER_SCHEMA)
-        self.store.rewrite(
-            "frontier", frontier.unionByName(admitted.select(
-                *[f.name for f in FRONTIER_SCHEMA.fields])), epoch
+        admitted_rows = admitted.select(
+            *[f.name for f in FRONTIER_SCHEMA.fields]
         )
+        # fresh-table fast path: when no committed dir exists yet the
+        # union below reads nothing from disk, so the crash-safe
+        # read-write replacement (localCheckpoint + tmp-dir swap) is
+        # pure overhead — write directly (the common cold-start seed
+        # pays one materialization instead of two)
+        if self.store._epochs("frontier", epoch):
+            frontier = self.store.read_snapshot(
+                "frontier", epoch, FRONTIER_SCHEMA
+            )
+            self.store.rewrite(
+                "frontier", frontier.unionByName(admitted_rows), epoch
+            )
+        else:
+            self.store.write("frontier", admitted_rows, epoch)
         from spider_man_spark.plans.epoch import _seen_rows
 
         new_seen = _seen_rows(admitted, self.cfg.bloom_shards, epoch)
         # seed-time seen rows merge with THIS epoch's existing delta
         # only — unioning all deltas <= epoch would duplicate every
         # older seen row into the current dir on each mid-crawl seed
-        prev_seen = self.store.read_delta_single("seen", epoch, SEEN_SCHEMA)
-        self.store.rewrite("seen", prev_seen.unionByName(new_seen), epoch)
+        if self.store._epochs("seen", epoch):
+            prev_seen = self.store.read_delta_single(
+                "seen", epoch, SEEN_SCHEMA
+            )
+            self.store.rewrite(
+                "seen", prev_seen.unionByName(new_seen), epoch
+            )
+        else:
+            self.store.write("seen", new_seen, epoch)
         if self.cfg.bloom_enabled:
             # the Bloom layer must stay a superset of the seen set:
             # fold the seed delta into the seen_shards snapshot too

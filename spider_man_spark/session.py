@@ -78,6 +78,20 @@ def get_spark(
         # this, multi-executor legs silently shuffle to the one shared
         # system disk while local mode uses tmpfs
         os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
+        # shuffle compression exists to save disk/network bandwidth;
+        # with shuffle scratch on tmpfs there is neither, so lz4 is
+        # pure CPU on both sides of every exchange (guide §2.3
+        # "compression can be pure overhead": the 6 GB/epoch fetch
+        # join measured 7.7 s -> 5.7 s with it off).  Parameterised:
+        # SPARK_GRAFT_SHUFFLE_COMPRESS=1 forces it back on, and
+        # disk-backed deployments (no tmpfs local dir) keep the
+        # Spark default (on) via this branch not applying.
+        comp_env = os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS")
+        compress = "false" if comp_env in (None, "0") else "true"
+        builder = (
+            builder.config("spark.shuffle.compress", compress)
+            .config("spark.shuffle.spill.compress", compress)
+        )
     if master.startswith("local-cluster"):
         # separate executor JVMs spawn their own Python workers, which
         # need this package on their path (the spark-submit --py-files

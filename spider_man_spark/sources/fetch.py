@@ -55,7 +55,15 @@ def stub_fetch(scheduled: DataFrame, corpus: DataFrame) -> DataFrame:
         F.col("body").alias("__body"),
         F.col("set_cookie").alias("__set_cookie"),
     )
-    joined = scheduled.select(*_CARRY).join(
+    # shuffled-hash hint, build side = scheduled: the scheduled side
+    # is budget-bounded (per-host tokens x hosts) while the corpus
+    # side carries the page BODIES — a sort-merge join would re-SORT
+    # the corpus side on every epoch (the cached corpus partitioning
+    # satisfies the exchange but not the ordering).  Hash-building the
+    # small side streams the heavy side through untouched (guide
+    # §3.1); the planner falls back to sort-merge where build-left
+    # outer SHJ is unsupported.
+    joined = scheduled.select(*_CARRY).hint("shuffle_hash").join(
         c, scheduled["url"] == c["__curl"], "left"
     )
     return joined.select(
