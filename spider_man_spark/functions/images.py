@@ -215,10 +215,16 @@ def decode_info_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
     """``mapInPandas`` body: (image_id, bytes[, fmt]) ->
-    (image_id, bytes, w, h, fmt, phash, decode_ok).
+    (image_id, w, h, fmt, phash, decode_ok).
 
     Iterates numpy-per-image inside an Arrow batch (image decode is
     inherently per-buffer); the *Spark* boundary stays vectorized.
+    The payload bytes are consumed, NOT re-emitted (guide §4.3: ship
+    only what the next operator reads) — at the bench's 200k x 12 KB
+    shape, round-tripping bytes through Arrow and the verify join's
+    shuffle moved ~2.4 GB x4 for a column no consumer touched; a
+    caller that needs the payload next to the decode info joins back
+    to its source by image_id instead.
     """
     for pdf in batches:
         n = len(pdf)
@@ -242,7 +248,6 @@ def decode_info_batches(
         out = pd.DataFrame(
             {
                 "image_id": pdf["image_id"].values,
-                "bytes": pdf["bytes"].values,
                 "w": ws,
                 "h": hs,
                 "fmt": fmts,
@@ -254,7 +259,7 @@ def decode_info_batches(
 
 
 DECODE_INFO_SCHEMA = (
-    "image_id string, bytes binary, w int, h int, fmt string, "
+    "image_id string, w int, h int, fmt string, "
     "phash long, decode_ok boolean"
 )
 

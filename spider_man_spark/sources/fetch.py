@@ -23,6 +23,7 @@ The request ``flag`` column round-trips to the response untouched
 
 from __future__ import annotations
 
+import os
 import time
 from collections.abc import Callable, Iterator
 
@@ -40,13 +41,51 @@ RETRY_MAX_RETRIES = 3
 RETRY_STATUSES = frozenset({400, 500})
 
 
+def _fetched_projection() -> list:
+    """The FETCHED output columns appended to the carried request
+    columns — shared by both join strategies below so the two plans
+    are column-for-column identical."""
+    return [
+        *_CARRY,
+        F.coalesce(F.col("__status"), F.lit(0)).alias("status"),
+        F.col("__ct").alias("content_type"),
+        F.when(F.col("__set_cookie").isNotNull(),
+               F.create_map(F.lit("set-cookie"), F.col("__set_cookie")))
+        .otherwise(F.lit(None).cast("map<string,string>"))
+        .alias("headers"),
+        F.col("__body").alias("body"),
+        # deterministic pseudo-latency for tps accounting
+        (F.pmod(F.xxhash64("url"), F.lit(90)) + 10).alias("fetch_ms"),
+    ]
+
+
 def stub_fetch(scheduled: DataFrame, corpus: DataFrame) -> DataFrame:
     """Deterministic fetch = equi-join scheduled.url -> corpus.url.
 
-    The corpus side is keyed by canonical url; Catalyst picks
-    broadcast vs shuffle join (AQE) — at 100 TB the corpus *is* the
-    web, so this is a plain shuffle equi-join on the url key and
-    scales with partitioning.
+    Join strategy (guide §3.1/§3.2 — broadcast the side that fits,
+    never shuffle the heavy side): the corpus side carries the page
+    BODIES, so any plan that exchanges it pays the epoch's largest
+    shuffle (profiled: 7.6 GB written + read per epoch at the bench's
+    disk-corpus scale shape — the single biggest stage of the crawl).
+    The scheduled side is budget-bounded (per-host tokens x hosts), so
+    when its measured size fits a broadcast we split the left-outer
+    into
+
+    * ``corpus INNER JOIN broadcast(scheduled)`` — the corpus STREAMS
+      (zero corpus-side exchange, zero scheduled-side exchange), and
+    * ``scheduled LEFT ANTI corpus(url)`` — the not-in-corpus rows
+      (status 0), a NARROW join that scans only the corpus url column
+      (parquet column pruning / in-memory columnar batch pruning).
+
+    which is row-identical to the left-outer (corpus urls unique or
+    not — inner duplicates exactly where the outer would).  The
+    decision is a RUNTIME row count of the (persisted) scheduled
+    slice, not a config constant: at the 10^10 design point a
+    scheduled slice over ``SPARK_GRAFT_FETCH_BC_ROWS`` (default 1.5M
+    rows: request tuples are ~150-250 B, so the bound keeps the built
+    HashedRelation under ~1 GB — inside the engine's 8-32 g driver
+    envelope) falls back to the shuffled-hash plan below, which is
+    the scale-honest strategy when BOTH sides are big.
     """
     c = corpus.select(
         F.col("url").alias("__curl"),
@@ -55,6 +94,31 @@ def stub_fetch(scheduled: DataFrame, corpus: DataFrame) -> DataFrame:
         F.col("body").alias("__body"),
         F.col("set_cookie").alias("__set_cookie"),
     )
+    bc_max = int(os.environ.get("SPARK_GRAFT_FETCH_BC_ROWS", "1500000"))
+    n_sched = None
+    if bc_max > 0:
+        # materializes the scheduled persist (work the fetch join would
+        # do anyway — the join then reads the cache); the count gates
+        # the join strategy on the actual epoch budget
+        n_sched = scheduled.count()
+    if n_sched is not None and n_sched <= bc_max:
+        sched = scheduled.select(*_CARRY)
+        matched = c.join(
+            F.broadcast(sched), sched["url"] == c["__curl"], "inner"
+        ).select(*_fetched_projection())
+        # null corpus-side columns typed FROM the corpus schema so the
+        # union is exact whatever body/cookie types a caller's corpus
+        # uses (tests inject string-bodied corpora)
+        ctypes = {f.name: f.dataType for f in c.schema.fields}
+        unmatched = sched.join(
+            c.select("__curl"), sched["url"] == F.col("__curl"), "left_anti"
+        )
+        for col in ("__status", "__ct", "__set_cookie", "__body"):
+            unmatched = unmatched.withColumn(
+                col, F.lit(None).cast(ctypes[col])
+            )
+        unmatched = unmatched.select(*_fetched_projection())
+        return matched.unionByName(unmatched)
     # shuffled-hash hint, build side = scheduled: the scheduled side
     # is budget-bounded (per-host tokens x hosts) while the corpus
     # side carries the page BODIES — a sort-merge join would re-SORT
@@ -66,18 +130,7 @@ def stub_fetch(scheduled: DataFrame, corpus: DataFrame) -> DataFrame:
     joined = scheduled.select(*_CARRY).hint("shuffle_hash").join(
         c, scheduled["url"] == c["__curl"], "left"
     )
-    return joined.select(
-        *_CARRY,
-        F.coalesce(F.col("__status"), F.lit(0)).alias("status"),
-        F.col("__ct").alias("content_type"),
-        F.when(F.col("__set_cookie").isNotNull(),
-               F.create_map(F.lit("set-cookie"), F.col("__set_cookie")))
-        .otherwise(F.lit(None).cast("map<string,string>"))
-        .alias("headers"),
-        F.col("__body").alias("body"),
-        # deterministic pseudo-latency for tps accounting
-        (F.pmod(F.xxhash64("url"), F.lit(90)) + 10).alias("fetch_ms"),
-    )
+    return joined.select(*_fetched_projection())
 
 
 def fetch_with_retry(
