@@ -192,9 +192,18 @@ def keep_canonical(
 
     The winner derivation runs entirely on (id, prefer) PROXY rows —
     the guide-§8 discipline: full ``df`` rows (which may carry KB-MB
-    payload columns like image bytes) cross exactly ONE exchange, the
-    final semi-join.  The previous shape joined and aggregated the
-    full rows, shuffling every payload three times."""
+    payload columns like image bytes) cross AT MOST one exchange.
+    When a runtime count shows the winner set fits a broadcast
+    (``SPARK_GRAFT_KEEP_BC_ROWS``, default 2M id rows — a bounded
+    hashed set of ids), the final semi-join broadcasts the winners and
+    the payload rows cross ZERO exchanges (guide §3.1); the count
+    itself scans only the pruned (id, prefer) proxy columns.  Beyond
+    the bound (the 10^10-group regime) the semi-join falls back to a
+    shuffled-hash build of the id-only winner side, which
+    co-partitions both sides but never SORTS the payload side the way
+    the planner's default sort-merge semi would."""
+    import os
+
     if prefer is None:
         prefer = F.col(id_col)
     # evaluate ``prefer`` on df FIRST (it may reference any df
@@ -212,5 +221,14 @@ def keep_canonical(
     )
     winners = keyed.groupBy("__gid").agg(
         F.min_by(F.col(id_col), F.col("__pref")).alias(id_col)
-    )
-    return df.join(winners.select(id_col), id_col, "left_semi")
+    ).select(id_col)
+    bc_max = int(os.environ.get("SPARK_GRAFT_KEEP_BC_ROWS", "2000000"))
+    if bc_max > 0:
+        # materialize the winner ids ONCE (id-only rows; the groups
+        # lineage above them includes the whole components pass —
+        # counting the raw plan and then joining it would run that
+        # pass twice)
+        winners = winners.localCheckpoint(eager=True)
+        if winners.count() <= bc_max:
+            return df.join(F.broadcast(winners), id_col, "left_semi")
+    return df.join(winners.hint("shuffle_hash"), id_col, "left_semi")

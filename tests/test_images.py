@@ -68,15 +68,28 @@ def test_decode_items_vectorized(spark):
         rows.append((f"im{i}", bytearray(data)))
     rows.append(("missing", None))
     df = spark.createDataFrame(rows, "image_id string, bytes binary")
-    out = {r.image_id: r for r in decode_items(df).collect()}
+    dec = decode_items(df)
+    # the decode info is a NARROW projection: payload bytes are
+    # consumed, not re-emitted (they'd cross the Arrow boundary and
+    # every downstream shuffle for nothing — callers join back by
+    # image_id when they need the payload next to the info)
+    assert "bytes" not in dec.columns
+    out = {r.image_id: r for r in dec.collect()}
     assert len(out) == 7
     for i in range(6):
         r = out[f"im{i}"]
         assert (r.w, r.h) == (32, 24)
         assert r.decode_ok
         assert r.fmt == ("png" if i % 2 == 0 else "qimg")
+    # the join-back-by-id pattern keeps payload + info equivalent to
+    # the old wide output
+    joined = {
+        r.image_id: r
+        for r in dec.join(df, "image_id").collect()
+    }
+    for i in range(6):
         px = make_image(f"im{i}", 32, 24)
-        assert psnr(px, decode_image(bytes(r.bytes))) >= 40.0
+        assert psnr(px, decode_image(bytes(joined[f"im{i}"].bytes))) >= 40.0
     assert not out["missing"].decode_ok
 
 
